@@ -1,0 +1,129 @@
+"""SAM model registry + builders.
+
+Behavioural contract: reference `segment_anything_cs/build_sam.py`
+(vit_h/vit_l/vit_b configs :14-45, common skeleton :104-158; checkpoints are
+loaded non-strict so PWD-Net weights may be absent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crowdsam_tpu.models.image_encoder import ImageEncoderViT
+from crowdsam_tpu.models.mask_decoder import MaskDecoder
+from crowdsam_tpu.models.prompt_encoder import PromptEncoder
+from crowdsam_tpu.models.sam import Sam
+
+
+def _build_sam(
+    encoder_embed_dim: int,
+    encoder_depth: int,
+    encoder_num_heads: int,
+    encoder_global_attn_indexes: Tuple[int, ...],
+    n_class: int = 1,
+    checkpoint: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
+    seed: int = 0,
+    image_size: int = 1024,
+) -> Sam:
+    prompt_embed_dim = 256
+    vit_patch_size = 16
+    image_embedding_size = image_size // vit_patch_size
+
+    image_encoder = ImageEncoderViT(
+        img_size=image_size,
+        patch_size=vit_patch_size,
+        embed_dim=encoder_embed_dim,
+        depth=encoder_depth,
+        num_heads=encoder_num_heads,
+        mlp_ratio=4.0,
+        out_chans=prompt_embed_dim,
+        qkv_bias=True,
+        use_rel_pos=True,
+        window_size=14,
+        global_attn_indexes=tuple(encoder_global_attn_indexes),
+        dtype=dtype,
+    )
+    prompt_encoder = PromptEncoder(
+        embed_dim=prompt_embed_dim,
+        image_embedding_size=(image_embedding_size, image_embedding_size),
+        input_image_size=(image_size, image_size),
+        mask_in_chans=16,
+        dtype=dtype,
+    )
+    mask_decoder = MaskDecoder(
+        transformer_dim=prompt_embed_dim,
+        num_multimask_outputs=3,
+        iou_head_depth=3,
+        iou_head_hidden_dim=256,
+        n_class=n_class,
+        dtype=dtype,
+    )
+
+    if checkpoint is not None:
+        from crowdsam_tpu.utils.checkpoint import load_sam_checkpoint
+
+        params = load_sam_checkpoint(
+            checkpoint,
+            encoder_depth=encoder_depth,
+            n_class=n_class,
+        )
+    else:
+        params = init_sam_params(
+            image_encoder, prompt_encoder, mask_decoder, seed=seed
+        )
+
+    return Sam(
+        image_encoder=image_encoder,
+        prompt_encoder=prompt_encoder,
+        mask_decoder=mask_decoder,
+        params=params,
+    )
+
+
+def init_sam_params(image_encoder, prompt_encoder, mask_decoder, seed: int = 0):
+    """Random-init parameter pytree with the same structure the checkpoint
+    converter produces (tiny shapes keep this cheap for tests)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    img = jnp.zeros(
+        (1, image_encoder.img_size, image_encoder.img_size, 3), jnp.float32
+    )
+    enc = image_encoder.init(k1, img)["params"]
+    pts = (jnp.zeros((1, 1, 2), jnp.float32), jnp.ones((1, 1), jnp.int32))
+    pe = prompt_encoder.init(k2, points=pts)["params"]
+    h = image_encoder.img_size // image_encoder.patch_size
+    dec = mask_decoder.init(
+        k3,
+        jnp.zeros((1, h, h, 256), jnp.float32),
+        jnp.zeros((h, h, 256), jnp.float32),
+        jnp.zeros((1, 2, 256), jnp.float32),
+        jnp.zeros((1, h, h, 256), jnp.float32),
+        True,
+        dino_feats_proj=jnp.zeros((4 * h, 4 * h, 256), jnp.float32),
+    )["params"]
+    return {"image_encoder": enc, "prompt_encoder": pe, "mask_decoder": dec}
+
+
+def build_sam_vit_h(checkpoint=None, n_class: int = 1, **kw) -> Sam:
+    return _build_sam(1280, 32, 16, (7, 15, 23, 31), n_class, checkpoint, **kw)
+
+
+def build_sam_vit_l(checkpoint=None, n_class: int = 1, **kw) -> Sam:
+    return _build_sam(1024, 24, 16, (5, 11, 17, 23), n_class, checkpoint, **kw)
+
+
+def build_sam_vit_b(checkpoint=None, n_class: int = 1, **kw) -> Sam:
+    return _build_sam(768, 12, 12, (2, 5, 8, 11), n_class, checkpoint, **kw)
+
+
+build_sam = build_sam_vit_h
+
+sam_model_registry = {
+    "default": build_sam_vit_h,
+    "vit_h": build_sam_vit_h,
+    "vit_l": build_sam_vit_l,
+    "vit_b": build_sam_vit_b,
+}
