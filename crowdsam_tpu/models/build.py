@@ -28,6 +28,7 @@ def _build_sam(
     dtype: Any = jnp.bfloat16,
     seed: int = 0,
     image_size: int = 1024,
+    dino_dim: int = 1024,
 ) -> Sam:
     prompt_embed_dim = 256
     vit_patch_size = 16
@@ -60,6 +61,7 @@ def _build_sam(
         iou_head_depth=3,
         iou_head_hidden_dim=256,
         n_class=n_class,
+        dino_dim=dino_dim,
         dtype=dtype,
     )
 
@@ -86,24 +88,38 @@ def _build_sam(
 
 def init_sam_params(image_encoder, prompt_encoder, mask_decoder, seed: int = 0):
     """Random-init parameter pytree with the same structure the checkpoint
-    converter produces (tiny shapes keep this cheap for tests)."""
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    converter produces (shape-only via eval_shape, so ViT-L is instant)."""
+    from crowdsam_tpu.utils.init import fast_random_init
+
     img = jnp.zeros(
         (1, image_encoder.img_size, image_encoder.img_size, 3), jnp.float32
     )
-    enc = image_encoder.init(k1, img)["params"]
+    enc = fast_random_init(image_encoder, img, seed=seed)
     pts = (jnp.zeros((1, 1, 2), jnp.float32), jnp.ones((1, 1), jnp.int32))
-    pe = prompt_encoder.init(k2, points=pts)["params"]
+    pe = fast_random_init(prompt_encoder, seed=seed + 1, points=pts)
     h = image_encoder.img_size // image_encoder.patch_size
-    dec = mask_decoder.init(
-        k3,
+    dec = fast_random_init(
+        mask_decoder,
         jnp.zeros((1, h, h, 256), jnp.float32),
         jnp.zeros((h, h, 256), jnp.float32),
         jnp.zeros((1, 2, 256), jnp.float32),
         jnp.zeros((1, h, h, 256), jnp.float32),
         True,
+        seed=seed + 2,
         dino_feats_proj=jnp.zeros((4 * h, 4 * h, 256), jnp.float32),
-    )["params"]
+    )
+    # dino_proj is only exercised through the `project_dino` method, so the
+    # shape-only init above misses it; add it explicitly.
+    import numpy as np
+
+    rng = np.random.default_rng(seed + 3)
+    d = mask_decoder.transformer_dim
+    dec["dino_proj"] = {
+        "kernel": jnp.asarray(
+            rng.normal(0, 0.02, (mask_decoder.dino_dim, d)).astype(np.float32)
+        ),
+        "bias": jnp.zeros((d,), jnp.float32),
+    }
     return {"image_encoder": enc, "prompt_encoder": pe, "mask_decoder": dec}
 
 
@@ -119,6 +135,12 @@ def build_sam_vit_b(checkpoint=None, n_class: int = 1, **kw) -> Sam:
     return _build_sam(768, 12, 12, (2, 5, 8, 11), n_class, checkpoint, **kw)
 
 
+def build_sam_vit_tiny(checkpoint=None, n_class: int = 1, **kw) -> Sam:
+    """Small test/dev config (not the reference's TinyViT mobile_sam)."""
+    kw.setdefault("image_size", 256)
+    return _build_sam(64, 2, 2, (1,), n_class, checkpoint, **kw)
+
+
 build_sam = build_sam_vit_h
 
 sam_model_registry = {
@@ -126,4 +148,5 @@ sam_model_registry = {
     "vit_h": build_sam_vit_h,
     "vit_l": build_sam_vit_l,
     "vit_b": build_sam_vit_b,
+    "vit_tiny": build_sam_vit_tiny,
 }

@@ -1,0 +1,371 @@
+"""CrowdSAM: whole-image -> instance annotations pipeline shell.
+
+Behavioural contract: reference `crowdsam/model.py` (CrowdSAM class).  The
+public surface is `CrowdSAM(config, logger).generate(image) -> MaskData`
+with keys boxes / scores / categories / rles / rles_info / points / fboxes /
+crop_boxes / stability_score (model.py:134-190 and _process_crop).
+
+Host/device split (TPU-first):
+- host: one cv2 resize per crop (reference utils.resize_image semantics),
+  padding, JSON/RLE serialization, final numpy assembly;
+- device (3 jitted programs, compiled once per config): the fused dual
+  backbone encode (predictor), the foreground-map prep, and the EPS decode
+  engine (engine.py) which covers everything from candidate sampling through
+  NMS + small-region cleanup with zero per-batch host syncs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crowdsam_tpu.models.build import sam_model_registry
+from crowdsam_tpu.models.dinov2 import dino_model_registry
+from crowdsam_tpu.ops import rle as rle_ops
+from crowdsam_tpu.ops.amg import MaskData, batched_mask_to_box, generate_crop_boxes
+from crowdsam_tpu.ops.boxes import uncrop_boxes_xyxy, uncrop_points
+from crowdsam_tpu.ops.nms import nms_indices
+from crowdsam_tpu.ops.transforms import resize_image
+from crowdsam_tpu.pipeline.engine import EngineConfig, make_eps_engine
+from crowdsam_tpu.pipeline.predictor import SamPredictor
+from crowdsam_tpu.utils.init import fast_random_init
+from crowdsam_tpu.utils.logging import get_logger
+
+
+def _dtype_from_str(s: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[s]
+
+
+class CrowdSAM:
+    def __init__(self, config: Dict[str, Any], logger=None):
+        self.config = config
+        self.logger = logger or get_logger()
+        mcfg, tcfg = config["model"], config["test"]
+        tpucfg = config.get("tpu", {})
+        dtype = _dtype_from_str(tpucfg.get("compute_dtype", "bfloat16"))
+
+        self.n_class = mcfg.get("n_class", 1)
+        self.train_free = bool(mcfg.get("trainfree", False))
+        self.sam_arch = mcfg.get("sam_arch", "crowdsam")
+
+        # ---- SAM (reference model.py:88-115) ----
+        sam_ckpt = mcfg.get("sam_checkpoint")
+        sam_ckpt = sam_ckpt if sam_ckpt and os.path.exists(sam_ckpt) else None
+        if mcfg.get("sam_checkpoint") and sam_ckpt is None:
+            self.logger.warning(
+                "SAM checkpoint %s not found; using random init",
+                mcfg.get("sam_checkpoint"),
+            )
+        dino_dims = {"dinov2_vitl14": 1024, "dinov2_vitb14": 768,
+                     "dinov2_vits14": 384}
+        sam = sam_model_registry[mcfg.get("sam_model", "vit_l")](
+            checkpoint=None, n_class=self.n_class, dtype=dtype,
+            dino_dim=dino_dims.get(mcfg.get("dino_model", "dinov2_vitl14"), 1024),
+        )
+        if sam_ckpt is not None:
+            from crowdsam_tpu.utils.checkpoint import load_sam_checkpoint, overlay
+
+            sam.params = overlay(
+                sam.params,
+                load_sam_checkpoint(
+                    sam_ckpt, encoder_depth=sam.image_encoder.depth,
+                    n_class=self.n_class,
+                ),
+            )
+        adapter = mcfg.get("sam_adapter_checkpoint")
+        if adapter and os.path.exists(adapter) and self.sam_arch != "sam":
+            from crowdsam_tpu.utils.checkpoint import load_adapter_checkpoint, overlay
+
+            sam.params = overlay(
+                sam.params, {"mask_decoder": load_adapter_checkpoint(adapter)}
+            )
+        elif adapter and self.sam_arch != "sam":
+            self.logger.warning("adapter checkpoint %s not found", adapter)
+        self.sam = sam
+
+        # ---- DINOv2 (reference model.py:33-36) ----
+        dino_module = dino_model_registry[mcfg.get("dino_model", "dinov2_vitl14")](
+            dtype=dtype
+        )
+        dino_ckpt = mcfg.get("dino_checkpoint")
+        if dino_ckpt and os.path.exists(dino_ckpt):
+            from crowdsam_tpu.utils.checkpoint import (
+                convert_dinov2,
+                load_torch_state_dict,
+            )
+
+            dino_params = convert_dinov2(
+                load_torch_state_dict(dino_ckpt), depth=dino_module.depth
+            )
+        else:
+            if dino_ckpt:
+                self.logger.warning("DINO checkpoint %s not found; random init",
+                                    dino_ckpt)
+            dino_params = fast_random_init(
+                dino_module,
+                jnp.zeros((1, 28, 28, 3), jnp.float32),
+                seed=config["environ"].get("seed", 42),
+            )
+        self.predictor = SamPredictor(sam, dino_module, dino_params)
+
+        # ---- test-time knobs (reference model.py:44-64) ----
+        self.mask_selection = tcfg["mask_selection"]
+        self.apply_box_offsets = tcfg["apply_box_offsets"]
+        self.max_prompts = tcfg["max_prompts"]
+        self.filter_thresh = tcfg["filter_thresh"]
+        self.max_size = tcfg["max_size"]
+        self.grid_size = tcfg["grid_size"]
+        self.pred_iou_thresh = tcfg["pred_iou_thresh"]
+        self.fuse_simmap = tcfg["fuse_simmap"]
+        self.stability_score_thresh = tcfg["stability_score_thresh"]
+        self.stability_score_offset = tcfg["stability_score_offset"]
+        self.box_nms_thresh = tcfg["box_nms_thresh"]
+        self.points_per_batch = tcfg["points_per_batch"]
+        self.crop_n_layers = tcfg["crop_n_layers"]
+        self.crop_nms_thresh = tcfg["crop_nms_thresh"]
+        self.crop_overlap_ratio = tcfg["crop_overlap_ratio"]
+        self.min_mask_region_area = tcfg["min_mask_region_area"]
+        self.pos_sim_thresh = tcfg["pos_sim_thresh"]
+        self.output_rles = tcfg.get("output_rles", True)
+
+        if self.train_free:
+            ref_path = mcfg.get("ref_feature", "")
+            if ref_path and os.path.exists(ref_path):
+                import pickle
+
+                with open(ref_path, "rb") as f:
+                    ref = pickle.load(f)
+                self.ref_feature = jnp.asarray(np.asarray(ref["f"]).mean(axis=0))
+            else:
+                self.logger.warning("trainfree ref_feature missing; using zeros")
+                self.ref_feature = jnp.zeros((dino_module.embed_dim,))
+            self.alpha = mcfg.get("score_fusion", 0.25)
+
+        grid = self.predictor.dino_grid if self.train_free else self.grid_size
+        self.engine_cfg = EngineConfig(
+            grid_size=grid,
+            low_res=sam.img_size // 4,
+            points_per_batch=self.points_per_batch,
+            max_prompts=self.max_prompts,
+            n_class=self.n_class,
+            img_size=sam.img_size,
+            mask_threshold=sam.mask_threshold,
+            pos_sim_thresh=self.pos_sim_thresh,
+            filter_thresh=self.filter_thresh,
+            pred_iou_thresh=self.pred_iou_thresh,
+            stability_score_thresh=self.stability_score_thresh,
+            stability_score_offset=self.stability_score_offset,
+            box_nms_thresh=self.box_nms_thresh,
+            crop_nms_thresh=self.crop_nms_thresh,
+            min_mask_region_area=self.min_mask_region_area,
+            mask_selection=self.mask_selection,
+            accumulate_occupy=tpucfg.get("accumulate_occupy", False),
+            fuse_simmap=self.fuse_simmap,
+            cc_max_iters=tpucfg.get("cc_max_iters", 192),
+        )
+        self.engine = make_eps_engine(
+            sam.prompt_encoder, sam.mask_decoder, self.engine_cfg
+        )
+        self._sim_prep = jax.jit(self._sim_prep_impl)
+        self._trainfree_sim = jax.jit(self._trainfree_sim_impl)
+        self._upsample = jax.jit(self._upsample_impl)
+        self._key = jax.random.PRNGKey(config["environ"].get("seed", 42))
+
+    # ------------------------------------------------------------------ sims
+    def _sim_prep_impl(self, fg_logits):
+        """(1, n_class, 256, 256) logits -> (grid, grid) probability map
+        (reference model.py:201-204)."""
+        g = self.engine_cfg.grid_size
+        x = jax.image.resize(
+            fg_logits, (1, fg_logits.shape[1], g, g), "linear", antialias=False
+        )
+        return jnp.max(jax.nn.sigmoid(x[0]), axis=0)
+
+    def _trainfree_sim_impl(self, dino_feats, ref_feature):
+        """Cosine similarity vs the cached reference feature over the 73^2
+        grid (reference model.py:206-218,308-316)."""
+        f = dino_feats[0]  # (73, 73, C)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True).clip(1e-6)
+        r = ref_feature / jnp.linalg.norm(ref_feature).clip(1e-6)
+        return f @ r
+
+    def _upsample_impl(self, logits):
+        """Survivor low-res logits -> img_size^2 binary masks, bit-packed for
+        a compact device->host transfer."""
+        s = self.sam.img_size
+        n = logits.shape[0]
+        x = jax.image.resize(
+            logits.astype(jnp.float32), (n, s, s), "linear", antialias=False
+        )
+        bits = (x > self.sam.mask_threshold).reshape(n, s, s // 8, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+        return (bits.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
+
+    # ------------------------------------------------------------------ api
+    def crop_image(self, image, crop_box):
+        x0, y0, x1, y1 = crop_box
+        if not isinstance(image, np.ndarray):
+            image = np.array(image, dtype=np.uint8)
+        self.orig_image = image
+        crop = image[y0:y1, x0:x1, :]
+        self.image, self.downscale = resize_image(crop, self.max_size)
+
+    def generate(self, image) -> MaskData:
+        """HWC uint8 image -> MaskData (reference model.py:134-190)."""
+        if not isinstance(image, np.ndarray):
+            image = np.array(image, dtype=np.uint8)
+        img_size = image.shape[:2]
+        crop_boxes, _ = generate_crop_boxes(
+            img_size, self.crop_n_layers, self.crop_overlap_ratio
+        )
+        data = MaskData()
+        for crop_box in crop_boxes:
+            crop_data = self._process_crop(image, crop_box)
+            if crop_data is not None:
+                data.cat(crop_data)
+            self.logger.debug(f"crop area {crop_box}")
+
+        if len(crop_boxes) > 1 and "crop_boxes" in data and len(data["boxes"]) > 0:
+            crop_areas = (
+                (data["crop_boxes"][:, 2] - data["crop_boxes"][:, 0])
+                * (data["crop_boxes"][:, 3] - data["crop_boxes"][:, 1])
+            ).astype(np.float64)
+            keep = nms_indices(
+                jnp.asarray(data["boxes"], dtype=jnp.float32),
+                jnp.asarray(1.0 / crop_areas, dtype=jnp.float32),
+                jnp.zeros(len(data["boxes"]), jnp.int32),
+                self.crop_nms_thresh,
+            )
+            data.filter(keep)
+            del data["crop_boxes"]
+        if len(list(data.keys())) > 0:
+            del data["iou_preds"]
+        else:
+            data["boxes"] = np.zeros((0, 4))
+            data["scores"] = np.zeros((0, 4))
+        if "rles" not in data:
+            data["rles"] = []
+        data.to_numpy()
+        return data
+
+    def _process_crop(self, image, crop_box) -> Optional[MaskData]:
+        self.crop_image(image, crop_box)
+        self.predictor.set_image_presized(self.image)
+        orig_h, orig_w = self.orig_image.shape[:2]
+        in_h, in_w = self.image.shape[:2]
+        cfg = self.engine_cfg
+
+        if not self.train_free:
+            fg_logits = self.predictor.predict_fg_map()
+            sim_map = self._sim_prep(fg_logits)
+            r = cfg.grid_size / max(in_h, in_w)
+            feat_hw = (int(in_h * r), int(in_w * r))
+        else:
+            sim_map = self._trainfree_sim(self.predictor.dino_feats, self.ref_feature)
+            g = self.predictor.dino_grid
+            feat_hw = (g, g)
+
+        self._key, sub = jax.random.split(self._key)
+        dino_proj = self.predictor.dino_proj_256
+        if dino_proj is None:
+            r = cfg.low_res
+            dino_proj = jnp.zeros((r, r, 256))
+        res = self.engine(
+            self.sam.params,
+            self.predictor.get_image_embedding(),
+            self.predictor.dense_pe,
+            dino_proj,
+            sim_map,
+            jnp.asarray(feat_hw, jnp.float32),
+            jnp.asarray((in_h, in_w), jnp.float32),
+            jnp.asarray(crop_box, jnp.float32),
+            jnp.asarray((orig_h, orig_w), jnp.float32),
+            jnp.float32(self.downscale),
+            sub,
+        )
+
+        keep = np.asarray(res["valid"])
+        n = int(keep.sum())
+        self.logger.debug(f"engine consumed {int(res['num_consumed'])} prompts, "
+                          f"{n} detections")
+        if n == 0:
+            return None
+        idx = np.nonzero(keep)[0]
+
+        # Boxes: low-res frame -> input frame -> original frame.
+        scale = self.sam.img_size / cfg.low_res
+        boxes_in = np.asarray(res["boxes"])[idx] * scale
+        boxes = np.asarray(
+            uncrop_boxes_xyxy(jnp.asarray(boxes_in), crop_box, self.downscale)
+        )
+        points = np.asarray(
+            uncrop_points(jnp.asarray(np.asarray(res["points"])[idx]), crop_box,
+                          self.downscale)
+        )
+
+        data = MaskData(
+            iou_preds=np.asarray(res["iou"])[idx],
+            scores=np.asarray(res["scores"])[idx],
+            categories=np.asarray(res["categories"])[idx],
+            stability_score=np.asarray(res["stability"])[idx],
+            boxes=boxes,
+            points=points,
+        )
+
+        if self.output_rles:
+            # Static-shape upsample of the whole survivor slab (one compiled
+            # program regardless of detection count), host-side gather.
+            packed = np.asarray(self._upsample(res["logits"]))[idx]
+            full = np.unpackbits(packed, axis=-1)[:, :in_h, :in_w].astype(bool)
+            # Apply low-res small-region corrections at full res.
+            if self.min_mask_region_area > 0:
+                changed = np.asarray(res["changed"])[idx]
+                if changed.any():
+                    full = _apply_lowres_corrections(
+                        full,
+                        np.asarray(res["masks"])[idx],
+                        np.asarray(res["logits"] > 0)[idx],
+                        changed, self.sam.img_size,
+                    )
+            data["rles"] = rle_ops.encode_masks_coco(full)
+            # Reference recomputes boxes from final masks; do the same at
+            # full res for box fidelity (model.py:384,427-440).
+            fr_boxes = np.asarray(batched_mask_to_box(jnp.asarray(full)))
+            nonempty = fr_boxes.any(axis=1)
+            boxes_in = np.where(nonempty[:, None], fr_boxes.astype(np.float64),
+                                boxes_in)
+            data["boxes"] = np.asarray(
+                uncrop_boxes_xyxy(jnp.asarray(boxes_in), crop_box, self.downscale)
+            )
+        else:
+            data["rles"] = [None] * n
+        data["rles_info"] = [crop_box, [orig_h, orig_w]]
+
+        data["crop_boxes"] = np.asarray([crop_box] * n)
+        data["fboxes"] = data["boxes"]
+        return data
+
+
+def _apply_lowres_corrections(full, lowres_after, lowres_before, changed, img_size):
+    """Merge 256^2 small-region edits into full-res masks: regions removed or
+    filled at low res are nearest-upsampled and applied on top of the
+    bilinear-upsampled binarization."""
+    import cv2
+
+    out = full.copy()
+    h, w = full.shape[1], full.shape[2]
+    for i in np.nonzero(changed)[0]:
+        before = lowres_before[i].astype(bool)
+        after = lowres_after[i].astype(bool)
+        removed = cv2.resize(
+            (before & ~after).astype(np.uint8) * 255, (img_size, img_size),
+            interpolation=cv2.INTER_NEAREST)[:h, :w] > 0
+        filled = cv2.resize(
+            (~before & after).astype(np.uint8) * 255, (img_size, img_size),
+            interpolation=cv2.INTER_NEAREST)[:h, :w] > 0
+        out[i] = (full[i] & ~removed) | filled
+    return out

@@ -1,0 +1,348 @@
+"""Efficient Prompt Sampler (EPS) decode engine — one fused XLA program.
+
+Behavioural contract: reference `crowdsam/model.py:192-390` (_process_crop /
+_process_batch / efficient_batch_iterator).  The reference loop is
+data-dependent Python with a host sync per 32-prompt batch
+(`occupy_mask ... .cpu()` at model.py:246).  Here the whole thing is one
+`lax.while_loop` with static shapes:
+
+- candidate points = thresholded foreground-map cells, randomly permuted
+  on-device (argsort over random keys restricted to valid cells);
+- each iteration consumes up to `points_per_batch` alive candidates
+  (`jnp.nonzero(..., size=K)`), decodes them through the prompt encoder +
+  mask decoder, filters (pred-IoU, stability, crop-edge), writes results
+  into a fixed [max_iters * K] slab at aligned offsets, and prunes the
+  remaining candidates through the occupy mask — all on-device;
+- masks stay at 256^2 logits through the loop (the reference upsamples every
+  batch to full resolution before filtering; scores/boxes are
+  scale-invariant, so we defer full-res upsampling to post-NMS survivors —
+  the headline throughput lever);
+- post-loop (same program): padded NMS, survivor compaction, on-chip
+  small-region cleanup at 256^2 with an area threshold scaled by (256/1024)^2
+  (reference runs cv2 at full res, model.py:394-443), re-NMS, score fusion.
+
+Quirks preserved (SURVEY.md §7): the occupy mask is overwritten, not
+OR-accumulated, each batch (model.py:246; `accumulate_occupy` opts in to the
+fixed behaviour); candidate shuffling makes inference seed-dependent
+(model.py:231); iou_pred is used after clamp·sigmoid fusion (model.py:351).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crowdsam_tpu.ops.amg import batched_mask_to_box, calculate_stability_score
+from crowdsam_tpu.ops.boxes import is_box_near_crop_edge
+from crowdsam_tpu.ops.connected import remove_small_regions
+from crowdsam_tpu.ops.nms import nms_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static engine configuration (hashable -> one compiled program each)."""
+
+    grid_size: int = 192
+    points_per_batch: int = 32
+    max_prompts: int = 500
+    n_class: int = 1
+    img_size: int = 1024          # SAM input frame (padded square)
+    low_res: int = 256            # decoder mask resolution
+    mask_threshold: float = 0.0
+    pos_sim_thresh: float = 0.5
+    filter_thresh: float = 0.7
+    pred_iou_thresh: float = 0.1
+    stability_score_thresh: float = 0.8
+    stability_score_offset: float = 1.0
+    box_nms_thresh: float = 0.65
+    crop_nms_thresh: float = 0.7
+    min_mask_region_area: float = 100.0
+    mask_selection: str = "max_iou"
+    accumulate_occupy: bool = False
+    fuse_simmap: bool = False
+    max_keep: int = 320           # post-NMS survivor slab
+    cc_max_iters: int = 192
+
+    @property
+    def max_iters(self) -> int:
+        return -(-self.max_prompts // self.points_per_batch)
+
+    @property
+    def slab(self) -> int:
+        return self.max_iters * self.points_per_batch
+
+
+def _select_mask(cfg: EngineConfig, masks, iou_fused):
+    """Per-prompt mask selection (reference `model.py:318-331`).
+
+    masks: (K, 4, R, R) logits; iou_fused: (K, 4).  Returns indices (K,).
+    """
+    if cfg.mask_selection == "max_iou":
+        return jnp.argmax(iou_fused, axis=-1)
+    bin_area = (masks > cfg.mask_threshold).sum(axis=(-1, -2))
+    if cfg.mask_selection == "max_area":
+        return jnp.argmax(bin_area, axis=-1)
+    if cfg.mask_selection == "min_area":
+        return jnp.argmin(bin_area, axis=-1)
+    raise NotImplementedError(cfg.mask_selection)
+
+
+def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
+    """Build the jitted single-image decode engine.
+
+    Returns fn(params, features, dense_pe, dino_feats_proj, sim_map,
+               feat_hw, input_hw, crop_box, orig_hw, downscale, key)
+    -> result pytree with `slab`-sized arrays + keep masks (no host syncs).
+
+    - features: (1, 64, 64, 256) image embedding (NHWC)
+    - dense_pe: (64, 64, 256)
+    - dino_feats_proj: (256, 256, C) projected+resized DINO features
+    - sim_map: (grid, grid) foreground probability (post sigmoid/max)
+    - feat_hw: (2,) valid region of sim_map (long side == grid)
+    - input_hw: (2,) resized image size inside the padded 1024^2 frame
+    - crop_box, orig_hw, downscale: uncrop bookkeeping for the edge filter
+    """
+    G = cfg.grid_size
+    K = cfg.points_per_batch
+    R = cfg.low_res
+    N = G * G
+    SLAB = cfg.slab
+
+    def engine(params, features, dense_pe, dino_feats_proj, sim_map,
+               feat_hw, input_hw, crop_box, orig_hw, downscale, key):
+        feat_h, feat_w = feat_hw[0], feat_hw[1]
+        in_h, in_w = input_hw[0], input_hw[1]
+
+        # ------------------------------------------------------------------
+        # Candidate generation (reference model.py:201-223,445-449)
+        # ------------------------------------------------------------------
+        rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0).reshape(-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1).reshape(-1)
+        valid_cell = (rows < feat_h) & (cols < feat_w)
+        cand = (sim_map.reshape(-1) > cfg.pos_sim_thresh) & valid_cell
+
+        # Random permutation of valid candidates (np.random.shuffle analogue).
+        rand = jax.random.uniform(key, (N,))
+        order = jnp.argsort(jnp.where(cand, rand, 2.0))
+        rows, cols, alive0 = rows[order], cols[order], cand[order]
+
+        # Image-frame integer pixel coords (model.py:219-223: / inv_factor,
+        # astype(int)).
+        px = jnp.floor(cols.astype(jnp.float32) * (in_w / feat_w)).astype(jnp.int32)
+        py = jnp.floor(rows.astype(jnp.float32) * (in_h / feat_h)).astype(jnp.int32)
+        pts = jnp.stack([px, py], axis=-1)  # (N, 2) int32
+        # Low-res occupy lookup indices (256^2 spans the padded img_size frame).
+        lr_scale = R / cfg.img_size
+        occ_idx = (
+            jnp.clip((py.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1) * R
+            + jnp.clip((px.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1)
+        )
+
+        # Prompt-frame transform (ResizeLongestSide.apply_coords semantics).
+        scale = cfg.img_size / jnp.maximum(in_h, in_w).astype(jnp.float32)
+        new_h = jnp.floor(in_h * scale + 0.5)
+        new_w = jnp.floor(in_w * scale + 0.5)
+        coord_factor = jnp.stack([new_w / in_w, new_h / in_h])
+
+        # ------------------------------------------------------------------
+        # Slabs
+        # ------------------------------------------------------------------
+        state = dict(
+            it=jnp.int32(0),
+            consumed=jnp.int32(0),
+            alive=alive0,
+            occupy=jnp.zeros((R * R,), dtype=bool),
+            logits=jnp.zeros((SLAB, R, R), dtype=jnp.bfloat16),
+            iou=jnp.full((SLAB,), -jnp.inf, dtype=jnp.float32),
+            cat=jnp.zeros((SLAB,), dtype=jnp.int32),
+            stab=jnp.zeros((SLAB,), dtype=jnp.float32),
+            boxes=jnp.zeros((SLAB, 4), dtype=jnp.float32),  # low-res frame
+            points=jnp.zeros((SLAB, 2), dtype=jnp.float32),
+            valid=jnp.zeros((SLAB,), dtype=bool),
+        )
+
+        def cond(s):
+            return (
+                (s["it"] < cfg.max_iters)
+                & (s["consumed"] < cfg.max_prompts)
+                & jnp.any(s["alive"])
+            )
+
+        def body(s):
+            (sel_idx,) = jnp.nonzero(s["alive"], size=K, fill_value=N)
+            sel_ok = sel_idx < N
+            safe_idx = jnp.minimum(sel_idx, N - 1)
+            coords = pts[safe_idx].astype(jnp.float32)  # (K, 2)
+            alive = s["alive"].at[sel_idx].set(False, mode="drop")
+            consumed = s["consumed"] + jnp.sum(sel_ok).astype(jnp.int32)
+
+            # ---- decode batch (reference model.py:334-390) ----
+            tcoords = coords * coord_factor
+            sparse, dense = prompt_encoder.apply(
+                {"params": params["prompt_encoder"]},
+                points=(tcoords[:, None, :], jnp.ones((K, 1), jnp.int32)),
+            )
+            masks, iou_pred, cls_scores = mask_decoder.apply(
+                {"params": params["mask_decoder"]},
+                features,
+                dense_pe,
+                sparse,
+                dense,
+                True,
+                dino_feats_proj=dino_feats_proj,
+            )  # (K,4,R,R), (K,4), (K,4,n_class)
+
+            # iou fusion quirk (model.py:351): clamp then * sigmoid(cls).
+            cls_best = jnp.max(cls_scores, axis=-1)          # (K, 4)
+            categories = jnp.argmax(cls_scores, axis=-1)     # (K, 4)
+            iou_fused = jnp.clip(iou_pred, 0.0) * jax.nn.sigmoid(cls_best)
+
+            ind = _select_mask(cfg, masks, iou_fused)
+            take = (jnp.arange(K), ind)
+            m_sel = masks[take]                  # (K, R, R) logits f32
+            iou_sel = iou_fused[take]
+            cat_sel = categories[take]
+
+            keep = sel_ok
+            if cfg.pred_iou_thresh > 0.0:
+                keep &= iou_sel > cfg.pred_iou_thresh
+            stab = calculate_stability_score(
+                m_sel, cfg.mask_threshold, cfg.stability_score_offset
+            ).astype(jnp.float32)
+            if cfg.stability_score_thresh > 0.0:
+                keep &= stab >= cfg.stability_score_thresh
+
+            binm = m_sel > cfg.mask_threshold
+            boxes_lr = batched_mask_to_box(binm).astype(jnp.float32)
+            # Crop-edge filter in image coords (model.py:386-389).
+            boxes_img = boxes_lr * (cfg.img_size / R)
+            near = is_box_near_crop_edge(
+                boxes_img, crop_box,
+                [0, 0, orig_hw[1], orig_hw[0]], downscale,
+            )
+            keep &= ~near
+
+            # ---- occupy update + pruning (model.py:246,238-239) ----
+            hot = binm & (keep & (iou_sel > cfg.filter_thresh))[:, None, None]
+            occ_new = jnp.any(hot, axis=0).reshape(-1)
+            occupy = (s["occupy"] | occ_new) if cfg.accumulate_occupy else occ_new
+            alive &= ~occupy[occ_idx]
+
+            off = s["it"] * K
+            upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
+                buf, val.astype(buf.dtype), off, axis=0
+            )
+            return dict(
+                it=s["it"] + 1,
+                consumed=consumed,
+                alive=alive,
+                occupy=occupy,
+                logits=upd(s["logits"], m_sel),
+                iou=upd(s["iou"], jnp.where(keep, iou_sel, -jnp.inf)),
+                cat=upd(s["cat"], cat_sel),
+                stab=upd(s["stab"], stab),
+                boxes=upd(s["boxes"], boxes_lr),
+                points=upd(s["points"], coords),
+                valid=upd(s["valid"], keep),
+            )
+
+        s = jax.lax.while_loop(cond, body, state)
+
+        # ------------------------------------------------------------------
+        # Box NMS over the whole slab (model.py:257-263)
+        # ------------------------------------------------------------------
+        keep_nms = nms_mask(s["boxes"], s["iou"], cfg.box_nms_thresh, s["valid"])
+
+        # Compact survivors into a max_keep slab (score-descending).
+        score_key = jnp.where(keep_nms, s["iou"], -jnp.inf)
+        top = jnp.argsort(-score_key)[: cfg.max_keep]
+        out = {
+            "logits": s["logits"][top],
+            "iou": s["iou"][top],
+            "categories": s["cat"][top],
+            "stability": s["stab"][top],
+            "boxes": s["boxes"][top],
+            "points": s["points"][top],
+            "valid": keep_nms[top],
+        }
+
+        # ------------------------------------------------------------------
+        # Small-region cleanup at low res (model.py:265-271,394-443)
+        # ------------------------------------------------------------------
+        binm = (out["logits"].astype(jnp.float32) > cfg.mask_threshold) & out[
+            "valid"
+        ][:, None, None]
+        if cfg.min_mask_region_area > 0:
+            # Area threshold rescaled from image pixels to the low-res grid.
+            area_lr = cfg.min_mask_region_area * (R / cfg.img_size) ** 2
+            m1, ch1 = remove_small_regions(
+                binm, area_lr, "holes", max_iters=cfg.cc_max_iters
+            )
+            m2, ch2 = remove_small_regions(
+                m1, area_lr, "islands", max_iters=cfg.cc_max_iters
+            )
+            unchanged = ~(ch1 | ch2)
+            new_boxes = batched_mask_to_box(m2).astype(jnp.float32)
+            # Re-NMS preferring unchanged masks (model.py:427-441).
+            renms_keep = nms_mask(
+                new_boxes,
+                unchanged.astype(jnp.float32),
+                max(cfg.box_nms_thresh, cfg.crop_nms_thresh),
+                out["valid"],
+            )
+            out["valid"] &= renms_keep
+            out["boxes"] = jnp.where(unchanged[:, None], out["boxes"], new_boxes)
+            out["masks"] = m2 & out["valid"][:, None, None]
+            out["changed"] = ~unchanged
+        else:
+            out["masks"] = binm
+            out["changed"] = jnp.zeros((cfg.max_keep,), dtype=bool)
+
+        # ------------------------------------------------------------------
+        # Scores (model.py:273-289)
+        # ------------------------------------------------------------------
+        if cfg.fuse_simmap:
+            sim_lr = jax.image.resize(sim_map, (R, R), "linear", antialias=False)
+            msum = out["masks"].sum(axis=(1, 2))
+            cls_score = jnp.where(
+                msum > 0,
+                (out["masks"] * sim_lr[None]).sum(axis=(1, 2)) / jnp.maximum(msum, 1),
+                0.0,
+            )
+            cls_score = jnp.clip(cls_score + 0.5, 0.0, 1.0)
+            out["scores"] = jnp.sqrt(jnp.clip(out["iou"], 0.0)) * jnp.sqrt(cls_score)
+        else:
+            out["scores"] = out["iou"]
+
+        out["num_consumed"] = s["consumed"]
+        return out
+
+    return jax.jit(engine)
+
+
+def make_upsampler(cfg: EngineConfig, input_hw: Tuple[int, int]):
+    """Jitted survivor upsampler: low-res logits -> input-frame binary masks.
+
+    Two-stage like reference `sam.py:132-161` (low-res -> img_size bilinear,
+    crop pad, binarize).  original==input in the CrowdSAM flow, so the second
+    resize is the identity.  Static per input_hw (one compile per image
+    aspect bucket).
+    """
+
+    @jax.jit
+    def upsample(logits: jnp.ndarray) -> jnp.ndarray:
+        n = logits.shape[0]
+        x = jax.image.resize(
+            logits.astype(jnp.float32),
+            (n, cfg.img_size, cfg.img_size),
+            method="linear",
+            antialias=False,
+        )
+        x = x[:, : input_hw[0], : input_hw[1]]
+        return x > cfg.mask_threshold
+
+    return upsample

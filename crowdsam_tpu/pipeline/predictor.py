@@ -1,0 +1,284 @@
+"""SamPredictor: cached dual-backbone image encode + prompt-driven decode.
+
+Behavioural contract: reference `segment_anything_cs/predictor.py`:
+- `set_image` resizes (long side 1024), SAM-preprocesses, runs the SAM
+  encoder, then bilinearly resizes the SAM-normalized padded tensor to
+  1022^2 and runs DINOv2 on it (quirk preserved: DINOv2 sees SAM
+  normalization, predictor.py:100-106);
+- `predict_fg_map` = point_classifier(dino_proj(dino_feats)) upsampled to
+  256^2 logits (:113-121);
+- `predict` / `predict_batch` (the torch predict_torch equivalent) embed
+  prompts and decode with PWD-Net outputs (:213-292).
+
+TPU-native: both backbones + the DINO projections run inside ONE jitted
+program per image; everything stays on device.  The per-image projected
+DINO map for PWD-Net pooling (256^2) is computed here once (the reference
+recomputes it per decode batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crowdsam_tpu.models.sam import PIXEL_MEAN, PIXEL_STD, Sam, postprocess_masks
+from crowdsam_tpu.ops.transforms import ResizeLongestSide, pad_to_square
+
+
+class SamPredictor:
+    def __init__(self, sam_model: Sam, dino_model=None, dino_params=None):
+        """dino_model/dino_params: DinoVisionTransformer + params (optional —
+        the vanilla-SAM arch path runs without DINOv2)."""
+        self.model = sam_model
+        self.dino_model = dino_model
+        self.dino_params = dino_params
+        self.transform = ResizeLongestSide(sam_model.img_size)
+        # Derived static resolutions: decoder mask res = img/4 (256 for SAM's
+        # 1024), DINOv2 grid = img//14 (73), DINO input = grid*14 (1022).
+        self.low_res = sam_model.img_size // 4
+        self.dino_grid = sam_model.img_size // 14
+        self.dino_input = self.dino_grid * 14
+        self._encode_jit = jax.jit(self._encode_impl)
+        self._fg_map_jit = jax.jit(self._fg_map_impl)
+        self._decode_jit = jax.jit(
+            self._decode_impl, static_argnames=("multimask_output", "with_pad")
+        )
+        self.reset_image()
+
+    # ------------------------------------------------------------------ encode
+    def _encode_impl(self, params, dino_params, padded_img, input_hw):
+        """padded_img: (1, S, S, 3) float raw pixels; input_hw: (2,) valid size."""
+        s = self.model.img_size
+        mean = jnp.asarray(PIXEL_MEAN)
+        std = jnp.asarray(PIXEL_STD)
+        x = (padded_img.astype(jnp.float32) - mean) / std
+        # Zero out the padding *after* normalization (reference pads the
+        # normalized tensor, sam.py:163-173).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        inside = (ri < input_hw[0]) & (ci < input_hw[1])
+        x = x * inside[None, :, :, None]
+
+        features = self.model.image_encoder.apply(
+            {"params": params["image_encoder"]}, x
+        )  # (1, 64, 64, 256)
+
+        dense_pe = self.model.prompt_encoder.apply(
+            {"params": params["prompt_encoder"]},
+            method=self.model.prompt_encoder.get_dense_pe,
+        )  # (64, 64, 256)
+
+        out = {"features": features, "dense_pe": dense_pe}
+        if self.dino_model is not None:
+            # DINOv2 on the SAM-normalized padded frame resized to 1022^2
+            # (predictor.py:104-106).
+            d = self.dino_input
+            x_dino = jax.image.resize(
+                x, (1, d, d, 3), method="linear", antialias=False
+            )
+            dres = self.dino_model.apply({"params": dino_params}, x_dino)
+            g = self.dino_grid
+            dino_feats = dres["x_norm_patchtokens"].reshape(1, g, g, -1)
+            out["dino_feats"] = dino_feats
+            # Hoisted PWD-Net projection at 73^2 and 256^2.
+            proj = self.model.mask_decoder.apply(
+                {"params": params["mask_decoder"]},
+                dino_feats,
+                method=self.model.mask_decoder.project_dino,
+            )  # (1, 73, 73, 256)
+            r = self.low_res
+            out["dino_proj_256"] = jax.image.resize(
+                proj[0], (r, r, proj.shape[-1]), "linear", antialias=False
+            )
+        return out
+
+    def set_image(self, image: np.ndarray, image_format: str = "RGB") -> None:
+        """image: HWC uint8 (reference predictor.py:32-68)."""
+        assert image_format in ("RGB", "BGR")
+        if image_format != self.model.image_format:
+            image = image[..., ::-1]
+        input_image = self.transform.apply_image(image)
+        self.original_size = tuple(image.shape[:2])
+        self.input_size = tuple(input_image.shape[:2])
+        padded = pad_to_square(input_image, self.model.img_size)[None]
+        self._cache = self._encode_jit(
+            self.model.params,
+            self.dino_params,
+            jnp.asarray(padded),
+            jnp.asarray(self.input_size, dtype=jnp.int32),
+        )
+        self.features = self._cache["features"]
+        self.dino_feats = self._cache.get("dino_feats")
+        self.is_image_set = True
+
+    def set_image_presized(self, image: np.ndarray) -> None:
+        """Fast path used by the CrowdSAM pipeline: `image` is already
+        resized (long side == img_size); skips the PIL resize no-op."""
+        self.original_size = tuple(image.shape[:2])
+        self.input_size = tuple(image.shape[:2])
+        padded = pad_to_square(image, self.model.img_size)[None]
+        self._cache = self._encode_jit(
+            self.model.params,
+            self.dino_params,
+            jnp.asarray(padded),
+            jnp.asarray(self.input_size, dtype=jnp.int32),
+        )
+        self.features = self._cache["features"]
+        self.dino_feats = self._cache.get("dino_feats")
+        self.is_image_set = True
+
+    def reset_image(self) -> None:
+        self.is_image_set = False
+        self._cache = None
+        self.features = None
+        self.dino_feats = None
+        self.original_size = None
+        self.input_size = None
+
+    # ------------------------------------------------------------------ fg map
+    def _fg_map_impl(self, params, dino_feats):
+        """(1,73,73,1024) -> (1, n_class, 256, 256) FG logits
+        (reference predictor.py:113-121; NCHW at the API boundary)."""
+        proj = self.model.mask_decoder.apply(
+            {"params": params["mask_decoder"]},
+            dino_feats,
+            method=self.model.mask_decoder.project_dino,
+        )
+        logits = self.model.mask_decoder.apply(
+            {"params": params["mask_decoder"]},
+            proj,
+            method=self.model.mask_decoder.classify_points,
+        )  # (1, 73, 73, n_class)
+        logits = jax.image.resize(
+            logits.astype(jnp.float32),
+            (1, 256, 256, logits.shape[-1]),
+            "linear",
+            antialias=False,
+        )
+        return logits.transpose(0, 3, 1, 2)
+
+    def predict_fg_map(self, img_size=None) -> jnp.ndarray:
+        assert self.is_image_set and self.dino_feats is not None
+        return self._fg_map_jit(self.model.params, self.dino_feats)
+
+    # ------------------------------------------------------------------ decode
+    def _decode_impl(
+        self,
+        params,
+        features,
+        dense_pe,
+        dino_proj_256,
+        point_coords,
+        point_labels,
+        boxes,
+        mask_input,
+        multimask_output: bool,
+        with_pad: bool,
+    ):
+        points = None
+        if point_coords is not None:
+            points = (point_coords, point_labels)
+        sparse, dense = self.model.prompt_encoder.apply(
+            {"params": params["prompt_encoder"]},
+            points=points,
+            boxes=boxes,
+            masks=mask_input,
+        )
+        del with_pad  # pad is implied by boxes-None inside the encoder
+        return self.model.mask_decoder.apply(
+            {"params": params["mask_decoder"]},
+            features,
+            dense_pe,
+            sparse,
+            dense,
+            multimask_output,
+            dino_feats_proj=dino_proj_256,
+        )
+
+    def predict_batch(
+        self,
+        point_coords: Optional[jnp.ndarray] = None,   # (B, N, 2) in input frame
+        point_labels: Optional[jnp.ndarray] = None,   # (B, N)
+        boxes: Optional[jnp.ndarray] = None,          # (B, 4) in input frame
+        mask_input: Optional[jnp.ndarray] = None,     # (B, 256, 256, 1)
+        multimask_output: bool = True,
+        return_logits: bool = False,
+        return_full_masks: bool = True,
+    ):
+        """predict_torch equivalent (reference predictor.py:213-292).
+
+        Returns (masks, iou_pred, cls_scores, low_res_masks); `masks` are at
+        original_size when return_full_masks else None.
+        """
+        assert self.is_image_set
+        low_res, iou, cls = self._decode_jit(
+            self.model.params,
+            self._cache["features"],
+            self._cache["dense_pe"],
+            self._cache.get("dino_proj_256"),
+            point_coords,
+            point_labels,
+            boxes,
+            mask_input,
+            multimask_output=multimask_output,
+            with_pad=boxes is None,
+        )
+        masks = None
+        if return_full_masks:
+            masks = postprocess_masks(
+                low_res, self.input_size, self.original_size, self.model.img_size
+            )
+            if not return_logits:
+                masks = masks > self.model.mask_threshold
+        return masks, iou, cls, low_res
+
+    def predict(
+        self,
+        point_coords: Optional[np.ndarray] = None,
+        point_labels: Optional[np.ndarray] = None,
+        box: Optional[np.ndarray] = None,
+        mask_input: Optional[np.ndarray] = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+    ):
+        """Numpy single-prompt-set API (reference predictor.py:133-212)."""
+        assert self.is_image_set, "call set_image first"
+        coords_j = labels_j = box_j = mask_j = None
+        if point_coords is not None:
+            pc = self.transform.apply_coords(point_coords, self.original_size)
+            coords_j = jnp.asarray(pc, dtype=jnp.float32)[None]
+            labels_j = jnp.asarray(point_labels, dtype=jnp.int32)[None]
+        if box is not None:
+            b = self.transform.apply_boxes(
+                np.asarray(box).reshape(-1, 4), self.original_size
+            )
+            box_j = jnp.asarray(b, dtype=jnp.float32)
+        if mask_input is not None:
+            mask_j = jnp.asarray(mask_input, dtype=jnp.float32)
+            mask_j = mask_j.reshape(1, *mask_j.shape[-2:], 1)
+        masks, iou, cls, low_res = self.predict_batch(
+            coords_j, labels_j, box_j, mask_j,
+            multimask_output=multimask_output, return_logits=return_logits,
+        )
+        return (
+            np.asarray(masks[0]),
+            np.asarray(iou[0]),
+            np.asarray(low_res[0]),
+            np.asarray(cls[0]),
+        )
+
+    def get_image_embedding(self) -> jnp.ndarray:
+        assert self.is_image_set
+        return self._cache["features"]
+
+    @property
+    def dense_pe(self):
+        return self._cache["dense_pe"]
+
+    @property
+    def dino_proj_256(self):
+        return self._cache.get("dino_proj_256")

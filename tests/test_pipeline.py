@@ -1,0 +1,120 @@
+"""End-to-end pipeline tests on a tiny random-weight model (CPU).
+
+These validate the EPS engine mechanics (static-shape loop, filtering,
+NMS, RLE output) and the CrowdSAM.generate contract — not detection quality
+(no pretrained weights in this environment; numerics are covered by the
+parity tests)."""
+
+import numpy as np
+import pytest
+
+from crowdsam_tpu.config import load_config, modify_config
+from crowdsam_tpu.ops.rle import coco_decode_rle
+from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+
+
+def tiny_config(**overrides):
+    cfg = load_config(None)
+    opts = [
+        "model.sam_model", "vit_tiny",
+        "model.dino_model", "dinov2_vits14",
+        "model.sam_checkpoint", "",
+        "model.dino_checkpoint", "",
+        "model.sam_adapter_checkpoint", "",
+        "test.max_size", "256",
+        "test.grid_size", "48",
+        "test.max_prompts", "64",
+        "test.points_per_batch", "8",
+        "test.pred_iou_thresh", "0.0",
+        "test.stability_score_thresh", "0.0",
+        "test.pos_sim_thresh", "0.3",
+        "tpu.compute_dtype", "float32",
+    ]
+    for k, v in overrides.items():
+        opts += [k, str(v)]
+    return modify_config(cfg, opts)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return CrowdSAM(tiny_config())
+
+
+def test_generate_contract(tiny_model, rng):
+    image = rng.integers(0, 255, (200, 256, 3), dtype=np.uint8)
+    data = tiny_model.generate(image)
+    keys = set(data.keys())
+    assert {"boxes", "scores", "rles"} <= keys
+    n = len(data["boxes"])
+    if n > 0:
+        assert {"categories", "points", "fboxes", "crop_boxes",
+                "stability_score"} <= keys
+        assert data["boxes"].shape == (n, 4)
+        assert data["scores"].shape == (n,)
+        assert len(data["rles"]) == n
+        # RLEs decode at the resized-image frame (reference stores masks at
+        # predictor.original_size, model.py:292-293).
+        m = coco_decode_rle(data["rles"][0])
+        assert m.shape == (200, 256)
+        # rles_info carries [crop_box, [orig_h, orig_w]]
+        crop_box, (oh, ow) = data["rles_info"][0], data["rles_info"][1]
+        assert (oh, ow) == (200, 256)
+        # boxes within image bounds
+        assert (data["boxes"][:, [0, 2]] <= 256).all()
+        assert (data["boxes"][:, [1, 3]] <= 200 + 1e-3).all()
+
+
+def test_generate_deterministic(rng):
+    image = rng.integers(0, 255, (128, 256, 3), dtype=np.uint8)
+    m1 = CrowdSAM(tiny_config())
+    m2 = CrowdSAM(tiny_config())
+    d1 = m1.generate(image)
+    d2 = m2.generate(image)
+    assert len(d1["boxes"]) == len(d2["boxes"])
+    if len(d1["boxes"]):
+        np.testing.assert_allclose(d1["boxes"], d2["boxes"])
+        np.testing.assert_allclose(d1["scores"], d2["scores"])
+
+
+def test_engine_respects_max_prompts(tiny_model, rng):
+    """The while loop must stop at max_prompts even with plentiful
+    candidates (reference model.py:233)."""
+    import jax.numpy as jnp
+    import jax
+
+    cfg = tiny_model.engine_cfg
+    g = cfg.grid_size
+    r = cfg.low_res
+    sim = jnp.ones((g, g)) * 0.9  # every cell is a candidate
+    res = tiny_model.engine(
+        tiny_model.sam.params,
+        jnp.zeros((1, tiny_model.sam.img_size // 16,
+                   tiny_model.sam.img_size // 16, 256)),
+        tiny_model.predictor.dense_pe
+        if tiny_model.predictor.is_image_set
+        else tiny_model.sam.prompt_encoder.apply(
+            {"params": tiny_model.sam.params["prompt_encoder"]},
+            method=tiny_model.sam.prompt_encoder.get_dense_pe,
+        ),
+        jnp.zeros((r, r, 256)),
+        sim,
+        jnp.asarray((g, g), jnp.float32),
+        jnp.asarray((256, 256), jnp.float32),
+        jnp.asarray((0, 0, 256, 256), jnp.float32),
+        jnp.asarray((256, 256), jnp.float32),
+        jnp.float32(1.0),
+        jax.random.PRNGKey(0),
+    )
+    consumed = int(res["num_consumed"])
+    assert consumed >= min(cfg.max_prompts, g * g)
+    assert consumed <= cfg.max_iters * cfg.points_per_batch
+
+
+def test_vanilla_sam_arch_runs_without_dino(rng):
+    cfg = tiny_config()
+    cfg["model"]["sam_arch"] = "sam"
+    cfg["model"]["trainfree"] = False
+    model = CrowdSAM(cfg)
+    image = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    data = model.generate(image)
+    assert "boxes" in data.keys()
