@@ -56,6 +56,9 @@ class MaskData:
     def keys(self):
         return self._stats.keys()
 
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._stats.get(key, default)
+
     def filter(self, keep) -> None:
         keep = np.asarray(keep)
         for k, v in self._stats.items():
