@@ -1,0 +1,255 @@
+"""10-shot PWD-Net adapter trainer.
+
+Behavioural contract: reference `tools/train.py`:
+- feature cache (:50-106): per shot, one dual-backbone encode + GT-box
+  prompts -> pseudo-GT low-res masks;
+- train loop (:205-267): 2000 steps; per step sample 30 positive point
+  prompts (one random interior pixel of a sampled GT mask) + 30 negative
+  points from background at 256 scale, all labeled 1; losses = MSE between
+  fused IoU (iou_pred * sigmoid(cls)) and true per-mask mIoU (zero targets
+  for negatives) + dice of the FG map vs union-of-GT; grad clip 0.1, AdamW
+  lr 1e-5 wd 1e-4 over {dino_proj, point_classifier, parallel_iou_head}
+  only (:294-306);
+- the reference builds SAM with .eval() and never re-enables train mode, so
+  DropMLP dropout is inactive during training — quirk preserved
+  (build_sam.py:153, mask_decoder.py:247-251).
+
+TPU-native: the cache is stacked into device arrays (boxes padded to a
+static max); each step is ONE jitted program — on-device prompt sampling
+(Gumbel tricks), forward, loss, backward, masked AdamW update.  Gradients
+are taken only w.r.t. the adapter subtree, so XLA prunes the transformer
+backward exactly like the reference's requires_grad=False graph.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+
+from crowdsam_tpu.train.losses import adapter_loss
+from crowdsam_tpu.utils.logging import get_logger
+
+ADAPTER_KEYS = ("parallel_iou_head", "point_classifier", "dino_proj")
+
+
+def split_adapter_params(dec_params: Dict[str, Any]):
+    """Decoder params -> (adapter subtree, frozen subtree)."""
+    flat = traverse_util.flatten_dict(dec_params)
+    adapter = {k: v for k, v in flat.items() if k[0] in ADAPTER_KEYS}
+    frozen = {k: v for k, v in flat.items() if k[0] not in ADAPTER_KEYS}
+    return (
+        traverse_util.unflatten_dict(adapter),
+        traverse_util.unflatten_dict(frozen),
+    )
+
+
+def merge_params(adapter, frozen):
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(adapter))
+    return traverse_util.unflatten_dict(flat)
+
+
+class AdapterTrainer:
+    def __init__(self, config: Dict[str, Any], predictor, logger=None):
+        """predictor: a SamPredictor with DINOv2 attached."""
+        self.config = config
+        self.predictor = predictor
+        self.sam = predictor.model
+        self.logger = logger or get_logger()
+        tr = config["train"]
+        self.n_shot = tr["n_shot"]
+        self.steps = tr["steps"]
+        self.pos_sample = tr["samples_per_batch"]
+        self.neg_factor = tr["neg_factor"]
+        self.neg_sample = int(self.neg_factor * self.pos_sample)
+        self.lr = tr["lr"]
+        self.weight_decay = tr["weight_decay"]
+        self.seed = tr.get("seed", 1)
+        self.clip_grad = 0.1
+        self.low_res = self.sam.img_size // 4
+
+    # ------------------------------------------------------------------ cache
+    def cache_features(self, dataset) -> Dict[str, jnp.ndarray]:
+        """Encode each shot once; decode GT-box prompts into pseudo-GT masks
+        (reference cache_feature, train.py:50-106)."""
+        n = min(self.n_shot, len(dataset))
+        feats, dinos, masks, counts, hws = [], [], [], [], []
+        box_lists = []
+        for i in range(n):
+            img, nboxes = dataset[i]
+            h, w = img.shape[:2]
+            boxes = nboxes * np.array([w, h, w, h])
+            box_lists.append(boxes)
+            hws.append((h, w))
+        maxb = int(np.ceil(max(len(b) for b in box_lists) / 8) * 8)
+
+        for i in range(n):
+            img, _ = dataset[i]
+            h, w = hws[i]
+            boxes = box_lists[i]
+            self.predictor.set_image(img)
+            tb = self.predictor.transform.apply_boxes(
+                boxes, self.predictor.original_size
+            )
+            padded = np.zeros((maxb, 4), dtype=np.float32)
+            padded[: len(boxes)] = tb
+            _, _, _, low_res = self.predictor.predict_batch(
+                boxes=jnp.asarray(padded),
+                multimask_output=False,
+                return_full_masks=False,
+            )
+            m = np.array(low_res[:, 0] > self.sam.mask_threshold)
+            m[len(boxes):] = False
+            feats.append(np.asarray(self.predictor.features[0]))
+            dinos.append(np.asarray(self.predictor.dino_feats[0]))
+            masks.append(m)
+            counts.append(len(boxes))
+            self.logger.info(f"cached shot {i}: {len(boxes)} boxes")
+        self.predictor.reset_image()
+
+        cache = {
+            "features": jnp.asarray(np.stack(feats)),
+            "dino_feats": jnp.asarray(np.stack(dinos)),
+            "target_masks": jnp.asarray(np.stack(masks)),
+            "fg_mask": jnp.asarray(np.stack([m.any(axis=0) for m in masks])),
+            "n_boxes": jnp.asarray(counts, jnp.int32),
+            "img_hw": jnp.asarray(hws, jnp.float32),
+        }
+        return cache
+
+    # ------------------------------------------------------------------ step
+    def _build_step(self, cache):
+        sam = self.sam
+        r = self.low_res
+        pos_n, neg_n = self.pos_sample, self.neg_sample
+        pe_params = sam.params["prompt_encoder"]
+        dense_pe = sam.prompt_encoder.apply(
+            {"params": pe_params}, method=sam.prompt_encoder.get_dense_pe
+        )
+
+        def loss_fn(adapter_p, frozen_p, shot, key):
+            dec_params = merge_params(adapter_p, frozen_p)
+            features = cache["features"][shot][None]
+            dino = cache["dino_feats"][shot]          # (Gd, Gd, C)
+            tmasks_all = cache["target_masks"][shot]  # (MAXB, R, R)
+            fg = cache["fg_mask"][shot]
+            nb = cache["n_boxes"][shot]
+            h, w = cache["img_hw"][shot][0], cache["img_hw"][shot][1]
+
+            k1, k2, k3 = jax.random.split(key, 3)
+            # -- positive prompts: random GT mask, random interior pixel ----
+            pos_idx = jax.random.randint(k1, (pos_n,), 0, nb)
+            tmasks = tmasks_all[pos_idx]  # (pos_n, R, R)
+            g = jax.random.gumbel(k2, (pos_n, r * r))
+            flat = jnp.where(tmasks.reshape(pos_n, -1), g, -jnp.inf)
+            pidx = jnp.argmax(flat, axis=-1)
+            pos_pts = jnp.stack([pidx % r, pidx // r], axis=-1).astype(jnp.float32)
+
+            # -- negative prompts: background of the 256-scale valid region -
+            scale = jnp.minimum(r / h, r / w)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+            valid = (ri < (scale * h).astype(jnp.int32)) & (
+                ci < (scale * w).astype(jnp.int32)
+            )
+            ok = (~fg) & valid
+            gn = jax.random.gumbel(k3, (r * r,))
+            neg_logits = jnp.where(ok.reshape(-1), gn, -jnp.inf)
+            _, nidx = jax.lax.top_k(neg_logits, neg_n)
+            neg_pts = jnp.stack([nidx % r, nidx // r], axis=-1).astype(jnp.float32)
+
+            # 256-frame -> image frame -> input frame (train.py:233-236)
+            pts = jnp.concatenate([pos_pts, neg_pts], axis=0) / scale
+            in_scale = sam.img_size / jnp.maximum(h, w)
+            new_h = jnp.floor(h * in_scale + 0.5)
+            new_w = jnp.floor(w * in_scale + 0.5)
+            pts = pts * jnp.stack([new_w / w, new_h / h])
+            labels = jnp.ones((pos_n + neg_n, 1), jnp.int32)
+
+            sparse, dense = sam.prompt_encoder.apply(
+                {"params": pe_params}, points=(pts[:, None, :], labels)
+            )
+            # Differentiable DINO projection (trainable dino_proj feeds both
+            # the pooling and FG-map paths, reference predict_masks :187).
+            proj = sam.mask_decoder.apply(
+                {"params": dec_params}, dino[None],
+                method=sam.mask_decoder.project_dino,
+            )[0]  # (Gd, Gd, 256)
+            proj_r = jax.image.resize(
+                proj, (r, r, proj.shape[-1]), "linear", antialias=False
+            )
+            masks, iou_pred, cls_scores = sam.mask_decoder.apply(
+                {"params": dec_params},
+                features, dense_pe, sparse, dense, True,
+                dino_feats_proj=proj_r,
+            )
+            fused_iou = iou_pred * jax.nn.sigmoid(cls_scores[..., 0])
+
+            # FG map from the same projection (predict_fg_map path).
+            cls_map = sam.mask_decoder.apply(
+                {"params": dec_params}, proj[None],
+                method=sam.mask_decoder.classify_points,
+            )[0]  # (Gd, Gd, C)
+            cls_map = jax.image.resize(
+                cls_map.astype(jnp.float32), (r, r, cls_map.shape[-1]),
+                "linear", antialias=False,
+            ).transpose(2, 0, 1)
+
+            losses = adapter_loss(
+                masks, fused_iou, cls_map,
+                tmasks, fg.astype(jnp.float32), valid.astype(jnp.float32),
+                num_pos=pos_n,
+            )
+            return sum(losses.values()), losses
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(self.clip_grad),
+            optax.adamw(self.lr, weight_decay=self.weight_decay),
+        )
+
+        @jax.jit
+        def train_step(adapter_p, frozen_p, opt_state, shot, key):
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                adapter_p, frozen_p, shot, key
+            )
+            updates, opt_state = tx.update(grads, opt_state, adapter_p)
+            adapter_p = optax.apply_updates(adapter_p, updates)
+            return adapter_p, opt_state, total, losses
+
+        return tx, train_step
+
+    # ------------------------------------------------------------------ train
+    def train(self, dataset) -> Dict[str, Any]:
+        """Runs the full loop; returns the updated mask_decoder params."""
+        cache = self.cache_features(dataset)
+        n_cached = int(cache["features"].shape[0])
+        adapter_p, frozen_p = split_adapter_params(self.sam.params["mask_decoder"])
+        tx, train_step = self._build_step(cache)
+        opt_state = tx.init(adapter_p)
+        key = jax.random.PRNGKey(self.seed)
+
+        t0 = time.time()
+        for step in range(self.steps):
+            shot = jnp.int32(step % n_cached)
+            step_key = jax.random.fold_in(key, step)
+            adapter_p, opt_state, total, losses = train_step(
+                adapter_p, frozen_p, opt_state, shot, step_key
+            )
+            if step % 100 == 0:
+                ld = {k: round(float(v), 3) for k, v in losses.items()}
+                rate = (step + 1) / (time.time() - t0)
+                self.logger.info(
+                    f"step: {step}/{self.steps} "
+                    + " ".join(f"{k}: {v}" for k, v in ld.items())
+                    + f" ({rate:.1f} it/s)"
+                )
+
+        new_dec = merge_params(adapter_p, frozen_p)
+        self.sam.params["mask_decoder"] = new_dec
+        return new_dec

@@ -1,0 +1,112 @@
+"""Adapter trainer: losses, param partitioning, and a short training run on
+the bundled 10-shot data with a tiny model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crowdsam_tpu.train.losses import adapter_loss, dice_loss, miou
+from crowdsam_tpu.train.trainer import (
+    AdapterTrainer,
+    merge_params,
+    split_adapter_params,
+)
+
+
+def test_dice_loss_perfect_and_disjoint():
+    t = jnp.zeros((1, 1, 8, 8)).at[:, :, :4].set(1.0)
+    logits_match = jnp.where(t > 0, 20.0, -20.0)
+    l = dice_loss(logits_match, t)
+    assert float(l[0, 0]) < 1e-3
+    logits_opposite = -logits_match
+    l2 = dice_loss(logits_opposite, t)
+    assert float(l2[0, 0]) > 0.9
+
+
+def test_miou():
+    pred = jnp.full((1, 1, 4, 4), -1.0).at[0, 0, :2].set(1.0)  # top half
+    target = jnp.zeros((1, 1, 4, 4)).at[0, 0, 1:3].set(1.0)    # middle half
+    got = float(miou(pred, target)[0, 0])
+    assert abs(got - 4 / 12) < 1e-6
+
+
+def test_adapter_loss_shapes():
+    p, k, r = 6, 4, 16
+    rng = np.random.default_rng(0)
+    losses = adapter_loss(
+        jnp.asarray(rng.normal(size=(p, k, r, r)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(p, k)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, r, r)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(3, r, r)) > 0.5),
+        jnp.asarray((rng.uniform(size=(r, r)) > 0.5).astype(np.float32)),
+        jnp.ones((r, r)),
+        num_pos=3,
+    )
+    assert set(losses) == {"pos_cls_loss", "neg_cls_loss", "dice_loss"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+
+
+def test_split_merge_roundtrip():
+    tree = {
+        "dino_proj": {"kernel": jnp.ones((4, 2))},
+        "parallel_iou_head": {"layers_0": {"kernel": jnp.ones((2, 2))}},
+        "point_classifier": {"layers_0": {"kernel": jnp.ones((2, 2))}},
+        "transformer": {"layers_0": {"norm1": {"weight": jnp.ones((2,))}}},
+        "iou_token": jnp.ones((1, 2)),
+    }
+    adapter, frozen = split_adapter_params(tree)
+    assert set(adapter) == {"dino_proj", "parallel_iou_head", "point_classifier"}
+    assert set(frozen) == {"transformer", "iou_token"}
+    merged = merge_params(adapter, frozen)
+    assert jax.tree_util.tree_structure(merged) == jax.tree_util.tree_structure(tree)
+
+
+@pytest.mark.slow
+def test_short_training_run_updates_only_adapter():
+    from crowdsam_tpu.config import load_config, modify_config
+    from crowdsam_tpu.models.build import sam_model_registry
+    from crowdsam_tpu.models.dinov2 import dino_model_registry
+    from crowdsam_tpu.pipeline.predictor import SamPredictor
+    from crowdsam_tpu.train.dataset import CrowdHumanDataset
+    from crowdsam_tpu.utils.init import fast_random_init
+
+    cfg = modify_config(load_config(None), [
+        "train.n_shot", "2", "train.steps", "6", "train.samples_per_batch", "4",
+        "train.lr", "0.001",
+    ])
+    sam = sam_model_registry["vit_tiny"](n_class=1, dtype=jnp.float32,
+                                         dino_dim=384)
+    dino = dino_model_registry["dinov2_vits14"](dtype=jnp.float32)
+    dino_params = fast_random_init(dino, jnp.zeros((1, 28, 28, 3)), seed=0)
+    predictor = SamPredictor(sam, dino, dino_params)
+
+    dataset = CrowdHumanDataset(
+        "/root/reference/crowdhuman_train",
+        "/root/reference/crowdhuman_train/train_crowdhuman_10shot.json",
+    )
+    before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), sam.params["mask_decoder"]
+    )
+    trainer = AdapterTrainer(cfg, predictor)
+    new_dec = trainer.train(dataset)
+
+    from flax import traverse_util
+
+    a_before, f_before = split_adapter_params(before)
+    a_after, f_after = split_adapter_params(new_dec)
+    # Frozen subtree unchanged
+    fb = traverse_util.flatten_dict(f_before)
+    fa = traverse_util.flatten_dict(f_after)
+    assert set(fb) == set(fa)
+    for k in fb:
+        np.testing.assert_array_equal(np.asarray(fb[k]), np.asarray(fa[k]))
+    # Adapter subtree changed
+    diffs = [
+        np.abs(np.asarray(vb) - np.asarray(va)).max()
+        for vb, va in zip(
+            jax.tree_util.tree_leaves(a_before), jax.tree_util.tree_leaves(a_after)
+        )
+    ]
+    assert max(diffs) > 0
