@@ -124,11 +124,32 @@ class AdapterTrainer:
         return cache
 
     # ------------------------------------------------------------------ step
-    def _build_step(self, cache):
+    def _build_step(self, cache, mesh=None):
+        """mesh: optional 2D jax.sharding.Mesh ('data', 'model').  With a
+        mesh, the prompt axis is data-parallel across 'data' (each chip
+        decodes a slice of the 60 point prompts against the replicated image
+        embedding — the natural parallelism of this model, SURVEY.md §2.5)
+        and the projected DINO map is spatially sharded over 'model'; XLA
+        inserts the gradient psums."""
         sam = self.sam
         r = self.low_res
         pos_n, neg_n = self.pos_sample, self.neg_sample
         pe_params = sam.params["prompt_encoder"]
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            def shard_prompts(x):
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, Pspec("data", *[None] * (x.ndim - 1)))
+                )
+
+            def shard_spatial(x):
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, Pspec("model", *[None] * (x.ndim - 1)))
+                )
+        else:
+            shard_prompts = shard_spatial = lambda x: x
         dense_pe = sam.prompt_encoder.apply(
             {"params": pe_params}, method=sam.prompt_encoder.get_dense_pe
         )
@@ -173,16 +194,20 @@ class AdapterTrainer:
             labels = jnp.ones((pos_n + neg_n, 1), jnp.int32)
 
             sparse, dense = sam.prompt_encoder.apply(
-                {"params": pe_params}, points=(pts[:, None, :], labels)
+                {"params": pe_params}, points=(shard_prompts(pts)[:, None, :], labels)
             )
+            sparse = shard_prompts(sparse)
+            dense = shard_prompts(dense)
             # Differentiable DINO projection (trainable dino_proj feeds both
             # the pooling and FG-map paths, reference predict_masks :187).
             proj = sam.mask_decoder.apply(
                 {"params": dec_params}, dino[None],
                 method=sam.mask_decoder.project_dino,
             )[0]  # (Gd, Gd, 256)
-            proj_r = jax.image.resize(
-                proj, (r, r, proj.shape[-1]), "linear", antialias=False
+            proj_r = shard_spatial(
+                jax.image.resize(
+                    proj, (r, r, proj.shape[-1]), "linear", antialias=False
+                )
             )
             masks, iou_pred, cls_scores = sam.mask_decoder.apply(
                 {"params": dec_params},
