@@ -8,10 +8,11 @@ crop_boxes / stability_score (model.py:134-190 and _process_crop).
 Host/device split (TPU-first):
 - host: one cv2 resize per crop (reference utils.resize_image semantics),
   padding, JSON/RLE serialization, final numpy assembly;
-- device (3 jitted programs, compiled once per config): the fused dual
-  backbone encode (predictor), the foreground-map prep, and the EPS decode
-  engine (engine.py) which covers everything from candidate sampling through
-  NMS + small-region cleanup with zero per-batch host syncs.
+- device: the fused dual backbone encode (predictor), the foreground-map
+  prep, the EPS decode engine (engine.py — candidate sampling through box
+  NMS with zero per-batch host syncs), and bucketed survivor passes
+  (small-region cleanup + re-NMS, mask upsampling) whose shapes — and hence
+  device->host transfer sizes — scale with the detection count.
 """
 
 from __future__ import annotations
@@ -170,6 +171,9 @@ class CrowdSAM:
         self.engine = make_eps_engine(
             sam.prompt_encoder, sam.mask_decoder, self.engine_cfg
         )
+        from crowdsam_tpu.pipeline.engine import make_small_region_pass
+
+        self._cc_pass = make_small_region_pass(self.engine_cfg)
         self._sim_prep = jax.jit(self._sim_prep_impl)
         self._trainfree_sim = jax.jit(self._trainfree_sim_impl)
         self._upsample = jax.jit(self._upsample_impl)
@@ -296,56 +300,80 @@ class CrowdSAM:
             return None
         idx = np.nonzero(keep)[0]
 
-        # Boxes: low-res frame -> input frame -> original frame.
+        # Device-side survivor gather into the smallest static bucket >= n:
+        # every downstream pass (small-region cleanup, upsampling) and every
+        # device->host transfer then scales with detections, not the slab
+        # (the axon tunnel moves ~60 MB/s; the full slab costs ~0.7 s).
+        bucket = next(
+            b for b in (32, 64, 128, 192, 256, cfg.max_keep)
+            if b >= min(n, cfg.max_keep)
+        )
+        idx_pad = np.zeros(bucket, dtype=np.int32)
+        idx_pad[: min(n, bucket)] = idx[:bucket]
+        jidx = jnp.asarray(idx_pad)
+        gathered = jnp.take(res["logits"], jidx, axis=0)
+
+        # Small-region cleanup + re-NMS on the bucket (reference
+        # model.py:265-271,394-443).
+        cc = None
+        sel = np.arange(min(n, bucket))
+        if self.min_mask_region_area > 0:
+            cc = self._cc_pass(gathered, jnp.int32(min(n, bucket)))
+            keep2 = np.asarray(cc["keep"])[: min(n, bucket)]
+            changed = np.asarray(cc["changed"])[: min(n, bucket)]
+            sel = np.nonzero(keep2)[0]
+            if len(sel) == 0:
+                return None
+
+        idx_final = idx[sel]
         scale = self.sam.img_size / cfg.low_res
-        boxes_in = np.asarray(res["boxes"])[idx] * scale
-        boxes = np.asarray(
-            uncrop_boxes_xyxy(jnp.asarray(boxes_in), crop_box, self.downscale)
-        )
-        points = np.asarray(
-            uncrop_points(jnp.asarray(np.asarray(res["points"])[idx]), crop_box,
-                          self.downscale)
-        )
+
+        boxes_lr = np.asarray(res["boxes"])[idx_final]
+        if cc is not None:
+            # Changed masks get boxes from the cleaned masks
+            # (model.py:437-440).
+            cc_boxes = np.asarray(cc["boxes"])[sel]
+            boxes_lr = np.where(changed[sel][:, None], cc_boxes, boxes_lr)
+        boxes_in = boxes_lr * scale
 
         data = MaskData(
-            iou_preds=np.asarray(res["iou"])[idx],
-            scores=np.asarray(res["scores"])[idx],
-            categories=np.asarray(res["categories"])[idx],
-            stability_score=np.asarray(res["stability"])[idx],
-            boxes=boxes,
-            points=points,
+            iou_preds=np.asarray(res["iou"])[idx_final],
+            scores=np.asarray(res["scores"])[idx_final],
+            categories=np.asarray(res["categories"])[idx_final],
+            stability_score=np.asarray(res["stability"])[idx_final],
+            points=np.asarray(
+                uncrop_points(
+                    jnp.asarray(np.asarray(res["points"])[idx_final]),
+                    crop_box, self.downscale,
+                )
+            ),
         )
 
         if self.output_rles:
-            # Static-shape upsample of the whole survivor slab (one compiled
-            # program regardless of detection count), host-side gather.
-            packed = np.asarray(self._upsample(res["logits"]))[idx]
+            packed = np.asarray(self._upsample(gathered))[sel]
             full = np.unpackbits(packed, axis=-1)[:, :in_h, :in_w].astype(bool)
-            # Apply low-res small-region corrections at full res.
-            if self.min_mask_region_area > 0:
-                changed = np.asarray(res["changed"])[idx]
-                if changed.any():
-                    full = _apply_lowres_corrections(
-                        full,
-                        np.asarray(res["masks"])[idx],
-                        np.asarray(res["logits"] > 0)[idx],
-                        changed, self.sam.img_size,
-                    )
+            if cc is not None and changed[sel].any():
+                full = _apply_lowres_corrections(
+                    full,
+                    np.asarray(cc["masks"])[sel],
+                    np.asarray(gathered > 0)[sel],
+                    changed[sel], self.sam.img_size,
+                )
             data["rles"] = rle_ops.encode_masks_coco(full)
-            # Reference recomputes boxes from final masks; do the same at
-            # full res for box fidelity (model.py:384,427-440).
+            # Recompute boxes from the final full-res masks for box fidelity
+            # (the reference computes boxes on full-res masks throughout).
             fr_boxes = np.asarray(batched_mask_to_box(jnp.asarray(full)))
             nonempty = fr_boxes.any(axis=1)
-            boxes_in = np.where(nonempty[:, None], fr_boxes.astype(np.float64),
-                                boxes_in)
-            data["boxes"] = np.asarray(
-                uncrop_boxes_xyxy(jnp.asarray(boxes_in), crop_box, self.downscale)
+            boxes_in = np.where(
+                nonempty[:, None], fr_boxes.astype(np.float64), boxes_in
             )
         else:
-            data["rles"] = [None] * n
+            data["rles"] = [None] * len(sel)
+        data["boxes"] = np.asarray(
+            uncrop_boxes_xyxy(jnp.asarray(boxes_in), crop_box, self.downscale)
+        )
         data["rles_info"] = [crop_box, [orig_h, orig_w]]
-
-        data["crop_boxes"] = np.asarray([crop_box] * n)
+        data["crop_boxes"] = np.asarray([crop_box] * len(sel))
         data["fboxes"] = data["boxes"]
         return data
 

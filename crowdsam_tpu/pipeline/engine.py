@@ -270,37 +270,12 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
             "valid": keep_nms[top],
         }
 
-        # ------------------------------------------------------------------
-        # Small-region cleanup at low res (model.py:265-271,394-443)
-        # ------------------------------------------------------------------
-        binm = (out["logits"].astype(jnp.float32) > cfg.mask_threshold) & out[
-            "valid"
-        ][:, None, None]
-        if cfg.min_mask_region_area > 0:
-            # Area threshold rescaled from image pixels to the low-res grid.
-            area_lr = cfg.min_mask_region_area * (R / cfg.img_size) ** 2
-            m1, ch1 = remove_small_regions(
-                binm, area_lr, "holes", max_iters=cfg.cc_max_iters
-            )
-            m2, ch2 = remove_small_regions(
-                m1, area_lr, "islands", max_iters=cfg.cc_max_iters
-            )
-            unchanged = ~(ch1 | ch2)
-            new_boxes = batched_mask_to_box(m2).astype(jnp.float32)
-            # Re-NMS preferring unchanged masks (model.py:427-441).
-            renms_keep = nms_mask(
-                new_boxes,
-                unchanged.astype(jnp.float32),
-                max(cfg.box_nms_thresh, cfg.crop_nms_thresh),
-                out["valid"],
-            )
-            out["valid"] &= renms_keep
-            out["boxes"] = jnp.where(unchanged[:, None], out["boxes"], new_boxes)
-            out["masks"] = m2 & out["valid"][:, None, None]
-            out["changed"] = ~unchanged
-        else:
-            out["masks"] = binm
-            out["changed"] = jnp.zeros((cfg.max_keep,), dtype=bool)
+        # Small-region cleanup (model.py:265-271,394-443) runs as a separate
+        # bucketed program over survivors only — see `make_small_region_pass`
+        # — so its cost scales with detections, not the slab.
+        out["masks"] = (
+            out["logits"].astype(jnp.float32) > cfg.mask_threshold
+        ) & out["valid"][:, None, None]
 
         # ------------------------------------------------------------------
         # Scores (model.py:273-289)
@@ -322,6 +297,42 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         return out
 
     return jax.jit(engine)
+
+
+def make_small_region_pass(cfg: EngineConfig):
+    """Bucketed small-region cleanup + re-NMS over gathered survivors.
+
+    fn(logits (K,R,R), n) -> dict(masks, changed, boxes, keep); jitted, one
+    compile per bucket size K.  Matches reference postprocess_small_regions
+    (model.py:394-443): holes then islands at the low-res-scaled area
+    threshold, boxes recomputed for changed masks, NMS preferring unchanged
+    masks (score = unchanged indicator).
+    """
+    area_lr = cfg.min_mask_region_area * (cfg.low_res / cfg.img_size) ** 2
+    thresh = max(cfg.box_nms_thresh, cfg.crop_nms_thresh)
+
+    @jax.jit
+    def run(logits, n):
+        k = logits.shape[0]
+        valid = jnp.arange(k) < n
+        binm = (logits.astype(jnp.float32) > cfg.mask_threshold) & valid[:, None, None]
+        m1, ch1 = remove_small_regions(
+            binm, area_lr, "holes", max_iters=cfg.cc_max_iters
+        )
+        m2, ch2 = remove_small_regions(
+            m1, area_lr, "islands", max_iters=cfg.cc_max_iters
+        )
+        unchanged = ~(ch1 | ch2)
+        new_boxes = batched_mask_to_box(m2).astype(jnp.float32)
+        keep = nms_mask(new_boxes, unchanged.astype(jnp.float32), thresh, valid)
+        return {
+            "masks": m2 & valid[:, None, None],
+            "changed": (~unchanged) & valid,
+            "boxes": new_boxes,
+            "keep": keep,
+        }
+
+    return run
 
 
 def make_upsampler(cfg: EngineConfig, input_hw: Tuple[int, int]):
