@@ -199,6 +199,31 @@ def convert_mask_decoder(
     return p
 
 
+def convert_mask_decoder_hq(
+    sd: Dict[str, np.ndarray], transformer_depth: int = 2
+) -> Dict[str, Any]:
+    """HQ decoder state dict -> MaskDecoderHQ params (shares the base
+    converter for the common subtree; maps the HQ token/fusion stacks)."""
+    p = convert_mask_decoder(sd, transformer_depth, num_mask_tokens=4)
+    if "hf_token.weight" in sd:
+        p["hf_token"] = sd["hf_token.weight"]
+    if "hf_mlp.layers.0.weight" in sd:
+        p["hf_mlp"] = _convert_mlp_head(sd, "hf_mlp", 3)
+    if "compress_vit_feat.0.weight" in sd:
+        p["compress_vit_0"] = _convT2x2(sd, "compress_vit_feat.0")
+        p["compress_vit_1"] = _ln(sd, "compress_vit_feat.1")
+        p["compress_vit_3"] = _convT2x2(sd, "compress_vit_feat.3")
+    if "embedding_encoder.0.weight" in sd:
+        p["embed_enc_0"] = _convT2x2(sd, "embedding_encoder.0")
+        p["embed_enc_1"] = _ln(sd, "embedding_encoder.1")
+        p["embed_enc_3"] = _convT2x2(sd, "embedding_encoder.3")
+    if "embedding_maskfeature.0.weight" in sd:
+        p["embed_mf_0"] = _conv(sd, "embedding_maskfeature.0")
+        p["embed_mf_1"] = _ln(sd, "embedding_maskfeature.1")
+        p["embed_mf_3"] = _conv(sd, "embedding_maskfeature.3")
+    return p
+
+
 def convert_dinov2(sd: Dict[str, np.ndarray], depth: int = 24) -> Dict[str, Any]:
     p: Dict[str, Any] = {
         "cls_token": sd["cls_token"],
