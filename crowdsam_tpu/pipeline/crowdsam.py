@@ -27,8 +27,7 @@ import numpy as np
 from crowdsam_tpu.models.build import sam_model_registry
 from crowdsam_tpu.models.dinov2 import dino_model_registry
 from crowdsam_tpu.ops import rle as rle_ops
-from crowdsam_tpu.ops.amg import MaskData, batched_mask_to_box, generate_crop_boxes
-from crowdsam_tpu.ops.boxes import uncrop_boxes_xyxy, uncrop_points
+from crowdsam_tpu.ops.amg import MaskData, generate_crop_boxes
 from crowdsam_tpu.ops.nms import nms_indices
 from crowdsam_tpu.ops.transforms import resize_image
 from crowdsam_tpu.pipeline.engine import EngineConfig, make_eps_engine
@@ -39,6 +38,34 @@ from crowdsam_tpu.utils.logging import get_logger
 
 def _dtype_from_str(s: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[s]
+
+
+def _uncrop_boxes_np(boxes, crop_box, downscale):
+    x0, y0 = crop_box[0], crop_box[1]
+    return boxes / downscale + np.asarray([x0, y0, x0, y0], dtype=np.float64)
+
+
+def _uncrop_points_np(points, crop_box, downscale):
+    x0, y0 = crop_box[0], crop_box[1]
+    return points / downscale + np.asarray([x0, y0], dtype=np.float64)
+
+
+def _mask_to_box_np(masks):
+    """(B, H, W) bool -> (B, 4) xyxy with inclusive edges; [0,0,0,0] for
+    empty masks (host numpy mirror of ops.amg.batched_mask_to_box)."""
+    b, h, w = masks.shape
+    in_h = masks.any(axis=2)
+    in_w = masks.any(axis=1)
+    hc = in_h * np.arange(h)
+    wc = in_w * np.arange(w)
+    bottom = hc.max(axis=1)
+    top = (hc + h * ~in_h).min(axis=1)
+    right = wc.max(axis=1)
+    left = (wc + w * ~in_w).min(axis=1)
+    empty = (right < left) | (bottom < top)
+    out = np.stack([left, top, right, bottom], axis=-1)
+    out[empty] = 0
+    return out
 
 
 class CrowdSAM:
@@ -292,7 +319,10 @@ class CrowdSAM:
             sub,
         )
 
-        keep = np.asarray(res["valid"])
+        # One transfer for all per-detection scalars (each np.asarray is a
+        # separate round trip over the tunnel otherwise).
+        summary = np.asarray(res["summary"])
+        keep = summary[:, 0] > 0.5
         n = int(keep.sum())
         self.logger.debug(f"engine consumed {int(res['num_consumed'])} prompts, "
                           f"{n} detections")
@@ -328,7 +358,7 @@ class CrowdSAM:
         idx_final = idx[sel]
         scale = self.sam.img_size / cfg.low_res
 
-        boxes_lr = np.asarray(res["boxes"])[idx_final]
+        boxes_lr = summary[idx_final, 6:10]
         if cc is not None:
             # Changed masks get boxes from the cleaned masks
             # (model.py:437-440).
@@ -337,15 +367,12 @@ class CrowdSAM:
         boxes_in = boxes_lr * scale
 
         data = MaskData(
-            iou_preds=np.asarray(res["iou"])[idx_final],
-            scores=np.asarray(res["scores"])[idx_final],
-            categories=np.asarray(res["categories"])[idx_final],
-            stability_score=np.asarray(res["stability"])[idx_final],
-            points=np.asarray(
-                uncrop_points(
-                    jnp.asarray(np.asarray(res["points"])[idx_final]),
-                    crop_box, self.downscale,
-                )
+            iou_preds=summary[idx_final, 1],
+            scores=summary[idx_final, 2],
+            categories=summary[idx_final, 3].astype(np.int32),
+            stability_score=summary[idx_final, 4],
+            points=_uncrop_points_np(
+                summary[idx_final, 10:12], crop_box, self.downscale
             ),
         )
 
@@ -362,16 +389,14 @@ class CrowdSAM:
             data["rles"] = rle_ops.encode_masks_coco(full)
             # Recompute boxes from the final full-res masks for box fidelity
             # (the reference computes boxes on full-res masks throughout).
-            fr_boxes = np.asarray(batched_mask_to_box(jnp.asarray(full)))
+            fr_boxes = _mask_to_box_np(full)
             nonempty = fr_boxes.any(axis=1)
             boxes_in = np.where(
                 nonempty[:, None], fr_boxes.astype(np.float64), boxes_in
             )
         else:
             data["rles"] = [None] * len(sel)
-        data["boxes"] = np.asarray(
-            uncrop_boxes_xyxy(jnp.asarray(boxes_in), crop_box, self.downscale)
-        )
+        data["boxes"] = _uncrop_boxes_np(boxes_in, crop_box, self.downscale)
         data["rles_info"] = [crop_box, [orig_h, orig_w]]
         data["crop_boxes"] = np.asarray([crop_box] * len(sel))
         data["fboxes"] = data["boxes"]

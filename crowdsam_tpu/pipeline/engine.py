@@ -293,6 +293,25 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         else:
             out["scores"] = out["iou"]
 
+        # Pack per-detection scalars into one array so the host needs a
+        # single small transfer: [valid, iou, score, category, stability,
+        # num_consumed, box(4), point(2)].
+        out["summary"] = jnp.concatenate(
+            [
+                out["valid"][:, None].astype(jnp.float32),
+                out["iou"][:, None],
+                out["scores"][:, None],
+                out["categories"][:, None].astype(jnp.float32),
+                out["stability"][:, None],
+                jnp.broadcast_to(
+                    s["consumed"].astype(jnp.float32),
+                    (out["valid"].shape[0],),
+                )[:, None],
+                out["boxes"],
+                out["points"],
+            ],
+            axis=1,
+        )
         out["num_consumed"] = s["consumed"]
         return out
 
