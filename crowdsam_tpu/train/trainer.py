@@ -55,6 +55,19 @@ def merge_params(adapter, frozen):
     return traverse_util.unflatten_dict(flat)
 
 
+def _opt_state_to_dict(opt_state):
+    from flax import serialization
+
+    return serialization.to_state_dict(opt_state)
+
+
+def _restore_opt_state(template, state_dict):
+    from flax import serialization
+
+    restored = serialization.from_state_dict(template, state_dict)
+    return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
 class AdapterTrainer:
     def __init__(self, config: Dict[str, Any], predictor, logger=None):
         """predictor: a SamPredictor with DINOv2 attached."""
@@ -250,8 +263,23 @@ class AdapterTrainer:
         return tx, train_step
 
     # ------------------------------------------------------------------ train
-    def train(self, dataset) -> Dict[str, Any]:
-        """Runs the full loop; returns the updated mask_decoder params."""
+    def train(
+        self,
+        dataset,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 500,
+        resume: bool = True,
+    ) -> Dict[str, Any]:
+        """Runs the full loop; returns the updated mask_decoder params.
+
+        With `checkpoint_dir`, the adapter params + optimizer state are
+        written every `checkpoint_every` steps and training resumes from the
+        latest checkpoint (the reference has no mid-training checkpointing
+        or resume at all — SURVEY.md §5)."""
+        import os
+
+        from crowdsam_tpu.utils.checkpoint import load_pytree, save_pytree
+
         cache = self.cache_features(dataset)
         n_cached = int(cache["features"].shape[0])
         adapter_p, frozen_p = split_adapter_params(self.sam.params["mask_decoder"])
@@ -259,8 +287,21 @@ class AdapterTrainer:
         opt_state = tx.init(adapter_p)
         key = jax.random.PRNGKey(self.seed)
 
+        start_step = 0
+        ckpt_path = (
+            os.path.join(checkpoint_dir, "trainer_state.msgpack")
+            if checkpoint_dir
+            else None
+        )
+        if resume and ckpt_path and os.path.exists(ckpt_path):
+            state = load_pytree(ckpt_path)
+            start_step = int(state["step"])
+            adapter_p = jax.tree_util.tree_map(jnp.asarray, state["adapter"])
+            opt_state = _restore_opt_state(opt_state, state["opt_state"])
+            self.logger.info(f"resumed from {ckpt_path} at step {start_step}")
+
         t0 = time.time()
-        for step in range(self.steps):
+        for step in range(start_step, self.steps):
             shot = jnp.int32(step % n_cached)
             step_key = jax.random.fold_in(key, step)
             adapter_p, opt_state, total, losses = train_step(
@@ -268,12 +309,20 @@ class AdapterTrainer:
             )
             if step % 100 == 0:
                 ld = {k: round(float(v), 3) for k, v in losses.items()}
-                rate = (step + 1) / (time.time() - t0)
+                rate = (step - start_step + 1) / (time.time() - t0)
                 self.logger.info(
                     f"step: {step}/{self.steps} "
                     + " ".join(f"{k}: {v}" for k, v in ld.items())
                     + f" ({rate:.1f} it/s)"
                 )
+            if ckpt_path and (step + 1) % checkpoint_every == 0:
+                save_pytree(ckpt_path, {
+                    "step": np.asarray(step + 1),
+                    "adapter": jax.tree_util.tree_map(np.asarray, adapter_p),
+                    "opt_state": jax.tree_util.tree_map(
+                        np.asarray, _opt_state_to_dict(opt_state)
+                    ),
+                })
 
         new_dec = merge_params(adapter_p, frozen_p)
         self.sam.params["mask_decoder"] = new_dec
