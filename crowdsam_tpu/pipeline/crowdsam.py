@@ -198,9 +198,11 @@ class CrowdSAM:
         self.engine = make_eps_engine(
             sam.prompt_encoder, sam.mask_decoder, self.engine_cfg
         )
-        from crowdsam_tpu.pipeline.engine import make_small_region_pass
+        from crowdsam_tpu.pipeline.engine import make_survivor_pass
 
-        self._cc_pass = make_small_region_pass(self.engine_cfg)
+        self._survivor_pass = make_survivor_pass(
+            self.engine_cfg, with_masks=self.output_rles
+        )
         self._sim_prep = jax.jit(self._sim_prep_impl)
         self._trainfree_sim = jax.jit(self._trainfree_sim_impl)
         self._upsample = jax.jit(self._upsample_impl)
@@ -331,9 +333,9 @@ class CrowdSAM:
         idx = np.nonzero(keep)[0]
 
         # Device-side survivor gather into the smallest static bucket >= n:
-        # every downstream pass (small-region cleanup, upsampling) and every
-        # device->host transfer then scales with detections, not the slab
-        # (the axon tunnel moves ~60 MB/s; the full slab costs ~0.7 s).
+        # the fused survivor pass (cleanup + re-NMS + upsample/bit-pack) and
+        # every device->host transfer then scale with detections, not the
+        # slab, and the whole tail costs two tunnel round trips.
         bucket = next(
             b for b in (32, 64, 128, 192, 256, cfg.max_keep)
             if b >= min(n, cfg.max_keep)
@@ -343,27 +345,22 @@ class CrowdSAM:
         jidx = jnp.asarray(idx_pad)
         gathered = jnp.take(res["logits"], jidx, axis=0)
 
-        # Small-region cleanup + re-NMS on the bucket (reference
-        # model.py:265-271,394-443).
-        cc = None
-        sel = np.arange(min(n, bucket))
-        if self.min_mask_region_area > 0:
-            cc = self._cc_pass(gathered, jnp.int32(min(n, bucket)))
-            keep2 = np.asarray(cc["keep"])[: min(n, bucket)]
-            changed = np.asarray(cc["changed"])[: min(n, bucket)]
-            sel = np.nonzero(keep2)[0]
-            if len(sel) == 0:
-                return None
+        sp = self._survivor_pass(gathered, jnp.int32(min(n, bucket)))
+        sp_summary = np.asarray(sp["summary"])[: min(n, bucket)]
+        keep2 = sp_summary[:, 0] > 0.5
+        changed = sp_summary[:, 1] > 0.5
+        sel = np.nonzero(keep2)[0]
+        if len(sel) == 0:
+            return None
 
         idx_final = idx[sel]
         scale = self.sam.img_size / cfg.low_res
 
         boxes_lr = summary[idx_final, 6:10]
-        if cc is not None:
-            # Changed masks get boxes from the cleaned masks
-            # (model.py:437-440).
-            cc_boxes = np.asarray(cc["boxes"])[sel]
-            boxes_lr = np.where(changed[sel][:, None], cc_boxes, boxes_lr)
+        # Changed masks get boxes from the cleaned masks (model.py:437-440).
+        boxes_lr = np.where(
+            changed[sel][:, None], sp_summary[sel, 2:6], boxes_lr
+        )
         boxes_in = boxes_lr * scale
 
         data = MaskData(
@@ -377,12 +374,12 @@ class CrowdSAM:
         )
 
         if self.output_rles:
-            packed = np.asarray(self._upsample(gathered))[sel]
+            packed = np.asarray(sp["packed"])[sel]
             full = np.unpackbits(packed, axis=-1)[:, :in_h, :in_w].astype(bool)
-            if cc is not None and changed[sel].any():
+            if changed[sel].any():
                 full = _apply_lowres_corrections(
                     full,
-                    np.asarray(cc["masks"])[sel],
+                    np.asarray(sp["lowres"])[sel],
                     np.asarray(gathered > 0)[sel],
                     changed[sel], self.sam.img_size,
                 )

@@ -318,6 +318,67 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
     return jax.jit(engine)
 
 
+def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
+    """Fused bucketed survivor program: small-region cleanup + re-NMS (+ the
+    full-res upsample/bit-pack when `with_masks`).
+
+    fn(logits (K,R,R), n) -> dict(summary (K,6) f32 [keep, changed, box*4],
+    lowres (K,R,R) bool, packed (K,S,S//8) uint8?).  One program per bucket
+    size — every tunnel round trip beyond the engine summary is folded in
+    here (each costs ~25-30 ms of latency on the axon relay).
+    """
+    area_lr = cfg.min_mask_region_area * (cfg.low_res / cfg.img_size) ** 2
+    thresh = max(cfg.box_nms_thresh, cfg.crop_nms_thresh)
+    s_img = cfg.img_size
+
+    @jax.jit
+    def run(logits, n):
+        k = logits.shape[0]
+        valid = jnp.arange(k) < n
+        binm = (logits.astype(jnp.float32) > cfg.mask_threshold) & valid[:, None, None]
+        if cfg.min_mask_region_area > 0:
+            m1, ch1 = remove_small_regions(
+                binm, area_lr, "holes", max_iters=cfg.cc_max_iters
+            )
+            m2, ch2 = remove_small_regions(
+                m1, area_lr, "islands", max_iters=cfg.cc_max_iters
+            )
+            unchanged = ~(ch1 | ch2)
+            new_boxes = batched_mask_to_box(m2).astype(jnp.float32)
+            keep = nms_mask(new_boxes, unchanged.astype(jnp.float32), thresh, valid)
+            changed = (~unchanged) & valid
+        else:
+            m2 = binm
+            new_boxes = batched_mask_to_box(binm).astype(jnp.float32)
+            keep = valid
+            changed = jnp.zeros((k,), dtype=bool)
+
+        out = {
+            "summary": jnp.concatenate(
+                [
+                    keep[:, None].astype(jnp.float32),
+                    changed[:, None].astype(jnp.float32),
+                    new_boxes,
+                ],
+                axis=1,
+            ),
+            "lowres": m2 & valid[:, None, None],
+        }
+        if with_masks:
+            x = jax.image.resize(
+                logits.astype(jnp.float32), (k, s_img, s_img),
+                method="linear", antialias=False,
+            )
+            bits = (x > cfg.mask_threshold).reshape(k, s_img, s_img // 8, 8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+            out["packed"] = (bits.astype(jnp.uint8) * weights).sum(-1).astype(
+                jnp.uint8
+            )
+        return out
+
+    return run
+
+
 def make_small_region_pass(cfg: EngineConfig):
     """Bucketed small-region cleanup + re-NMS over gathered survivors.
 
