@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -31,12 +32,39 @@ class MLPBlock(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
 
 
+def _ln_impl(x, weight, bias, eps, compute_dtype):
+    """LayerNorm over the last axis.  On TPU with bf16 compute, dispatches
+    to the fused Pallas kernel (read-once/write-once); with unaligned
+    channel counts it keeps the data in bf16 with f32 statistic
+    accumulation (half the HBM traffic of the f32 path).  The two-pass f32
+    jnp path is the reference semantics used everywhere else."""
+    if compute_dtype == jnp.bfloat16:
+        from crowdsam_tpu.ops.layernorm import fused_layer_norm
+
+        out = fused_layer_norm(x, weight, bias, eps=eps)
+        if out is not None:
+            return out
+        xb = x.astype(jnp.bfloat16)
+        u = jnp.mean(xb, axis=-1, keepdims=True, dtype=jnp.float32)
+        s = jnp.mean(
+            jnp.square(xb.astype(jnp.float32) - u), axis=-1, keepdims=True
+        )
+        y = (xb.astype(jnp.float32) - u) * jax.lax.rsqrt(s + eps)
+        return (y * weight + bias).astype(x.dtype)
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    u = x.mean(axis=-1, keepdims=True)
+    s = jnp.square(x - u).mean(axis=-1, keepdims=True)
+    x = (x - u) / jnp.sqrt(s + eps)
+    return (x * weight + bias).astype(orig_dtype)
+
+
 class ChannelLayerNorm(nn.Module):
     """LayerNorm over the channel axis of NHWC tensors.
 
     Equivalent to the reference's `LayerNorm2d` (`common.py:31-43`, which is
-    channel-wise LN on NCHW) under our NHWC layout.  Normalization runs in
-    f32 regardless of compute dtype.
+    channel-wise LN on NCHW) under our NHWC layout.  Statistics in f32
+    regardless of compute dtype.
     """
 
     eps: float = 1e-6
@@ -44,32 +72,22 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        u = x.mean(axis=-1, keepdims=True)
-        s = jnp.square(x - u).mean(axis=-1, keepdims=True)
-        x = (x - u) / jnp.sqrt(s + self.eps)
         weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (x * weight + bias).astype(orig_dtype)
+        return _ln_impl(x, weight, bias, self.eps, self.dtype)
 
 
 class LayerNorm(nn.Module):
-    """Plain LayerNorm in f32 with torch naming (weight/bias)."""
+    """Plain LayerNorm with torch naming (weight/bias); f32 statistics."""
 
     eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        u = x.mean(axis=-1, keepdims=True)
-        s = jnp.square(x - u).mean(axis=-1, keepdims=True)
-        x = (x - u) / jnp.sqrt(s + self.eps)
         weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (x * weight + bias).astype(orig_dtype)
+        return _ln_impl(x, weight, bias, self.eps, self.dtype)
 
 
 class ConvTranspose2x2(nn.Module):

@@ -58,10 +58,10 @@ class DinoBlock(nn.Module):
         gamma2 = self.param(
             "ls2_gamma", nn.initializers.constant(self.ls_init), (self.dim,)
         )
-        y = LayerNorm(eps=1e-6, name="norm1")(x)
+        y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
         y = DinoAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
         x = x + y * gamma1.astype(y.dtype)
-        y = LayerNorm(eps=1e-6, name="norm2")(x)
+        y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
         y = gelu(y)
@@ -132,7 +132,7 @@ class DinoVisionTransformer(nn.Module):
                 name=f"blocks_{i}",
             )(x)
 
-        x = LayerNorm(eps=1e-6, name="norm")(x)
+        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
         return {
             "x_norm_clstoken": x[:, 0],
             "x_norm_patchtokens": x[:, 1:],

@@ -145,7 +145,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         shortcut = x
-        x = LayerNorm(eps=1e-6, name="norm1")(x)
+        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
             h, w = x.shape[1], x.shape[2]
             x, pad_hw = window_partition(x, self.window_size)
@@ -166,7 +166,7 @@ class Block(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (h, w))
         x = shortcut + x
-        y = LayerNorm(eps=1e-6, name="norm2")(x)
+        y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(
             mlp_dim=int(self.dim * self.mlp_ratio),
             out_dim=self.dim,
@@ -230,7 +230,7 @@ class ImageEncoderViT(nn.Module):
         x = nn.Conv(
             self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck_0"
         )(x)
-        x = ChannelLayerNorm(name="neck_1")(x)
+        x = ChannelLayerNorm(dtype=self.dtype, name="neck_1")(x)
         x = nn.Conv(
             self.out_chans,
             (3, 3),
@@ -239,5 +239,5 @@ class ImageEncoderViT(nn.Module):
             dtype=self.dtype,
             name="neck_2",
         )(x)
-        x = ChannelLayerNorm(name="neck_3")(x)
+        x = ChannelLayerNorm(dtype=self.dtype, name="neck_3")(x)
         return x

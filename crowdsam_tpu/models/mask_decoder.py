@@ -71,7 +71,7 @@ class MaskDecoder(nn.Module):
         self.upscale_conv1 = ConvTranspose2x2(
             d // 4, dtype=self.dtype, name="upscale_0"
         )
-        self.upscale_norm = ChannelLayerNorm(name="upscale_1")
+        self.upscale_norm = ChannelLayerNorm(dtype=self.dtype, name="upscale_1")
         self.upscale_conv2 = ConvTranspose2x2(
             d // 8, dtype=self.dtype, name="upscale_3"
         )

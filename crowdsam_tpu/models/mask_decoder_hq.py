@@ -71,7 +71,7 @@ class MaskDecoderHQ(nn.Module):
         )
         self.upscale_conv1 = ConvTranspose2x2(d // 4, dtype=self.dtype,
                                               name="upscale_0")
-        self.upscale_norm = ChannelLayerNorm(name="upscale_1")
+        self.upscale_norm = ChannelLayerNorm(dtype=self.dtype, name="upscale_1")
         self.upscale_conv2 = ConvTranspose2x2(d // 8, dtype=self.dtype,
                                               name="upscale_3")
         self.output_hypernetworks_mlps = [
@@ -86,17 +86,17 @@ class MaskDecoderHQ(nn.Module):
         # HQ feature fusion stacks.
         self.compress_vit_0 = ConvTranspose2x2(d, dtype=self.dtype,
                                                name="compress_vit_0")
-        self.compress_vit_norm = ChannelLayerNorm(name="compress_vit_1")
+        self.compress_vit_norm = ChannelLayerNorm(dtype=self.dtype, name="compress_vit_1")
         self.compress_vit_3 = ConvTranspose2x2(d // 8, dtype=self.dtype,
                                                name="compress_vit_3")
         self.embed_enc_0 = ConvTranspose2x2(d // 4, dtype=self.dtype,
                                             name="embed_enc_0")
-        self.embed_enc_norm = ChannelLayerNorm(name="embed_enc_1")
+        self.embed_enc_norm = ChannelLayerNorm(dtype=self.dtype, name="embed_enc_1")
         self.embed_enc_3 = ConvTranspose2x2(d // 8, dtype=self.dtype,
                                             name="embed_enc_3")
         self.embed_mf_0 = nn.Conv(d // 4, (3, 3), padding=1, dtype=self.dtype,
                                   name="embed_mf_0")
-        self.embed_mf_norm = ChannelLayerNorm(name="embed_mf_1")
+        self.embed_mf_norm = ChannelLayerNorm(dtype=self.dtype, name="embed_mf_1")
         self.embed_mf_3 = nn.Conv(d // 8, (3, 3), padding=1, dtype=self.dtype,
                                   name="embed_mf_3")
         # PWD-Net heads (plain MLPs in the HQ variant, :98-100).

@@ -47,10 +47,10 @@ class PromptEncoder(nn.Module):
         self.mask_downscaling = [
             nn.Conv(self.mask_in_chans // 4, (2, 2), strides=(2, 2),
                     dtype=self.dtype, name="mask_down_0"),
-            ChannelLayerNorm(name="mask_down_1"),
+            ChannelLayerNorm(dtype=self.dtype, name="mask_down_1"),
             nn.Conv(self.mask_in_chans, (2, 2), strides=(2, 2),
                     dtype=self.dtype, name="mask_down_3"),
-            ChannelLayerNorm(name="mask_down_4"),
+            ChannelLayerNorm(dtype=self.dtype, name="mask_down_4"),
             nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="mask_down_6"),
         ]
 

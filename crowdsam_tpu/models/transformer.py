@@ -80,7 +80,7 @@ class TwoWayAttentionBlock(nn.Module):
                 name="self_attn",
             )(q, q, queries)
             queries = queries + attn_out
-        queries = LayerNorm(name="norm1")(queries)
+        queries = LayerNorm(dtype=self.dtype, name="norm1")(queries)
 
         # 2. token -> image cross-attention
         q = queries + query_pe
@@ -91,7 +91,7 @@ class TwoWayAttentionBlock(nn.Module):
             name="cross_attn_token_to_image",
         )(q, k, keys, attn_sim=attn_sim)
         queries = queries + attn_out
-        queries = LayerNorm(name="norm2")(queries)
+        queries = LayerNorm(dtype=self.dtype, name="norm2")(queries)
 
         # 3. MLP on tokens
         mlp_out = MLPBlock(
@@ -99,7 +99,7 @@ class TwoWayAttentionBlock(nn.Module):
             act=nn.relu, dtype=self.dtype, name="mlp",
         )(queries)
         queries = queries + mlp_out
-        queries = LayerNorm(name="norm3")(queries)
+        queries = LayerNorm(dtype=self.dtype, name="norm3")(queries)
 
         # 4. image -> token cross-attention
         q = queries + query_pe
@@ -110,7 +110,7 @@ class TwoWayAttentionBlock(nn.Module):
             name="cross_attn_image_to_token",
         )(k, q, queries)
         keys = keys + attn_out
-        keys = LayerNorm(name="norm4")(keys)
+        keys = LayerNorm(dtype=self.dtype, name="norm4")(keys)
         return queries, keys
 
 
@@ -163,5 +163,5 @@ class TwoWayTransformer(nn.Module):
             name="final_attn_token_to_image",
         )(q, k, keys)
         queries = queries + attn_out
-        queries = LayerNorm(name="norm_final_attn")(queries)
+        queries = LayerNorm(dtype=self.dtype, name="norm_final_attn")(queries)
         return queries, keys

@@ -66,6 +66,46 @@ def batched_nms_mask(
     return nms_mask(shifted, scores, iou_threshold, valid)
 
 
+def mask_coverage_nms_mask(
+    masks: jnp.ndarray,
+    scores: jnp.ndarray,
+    threshold: float,
+    valid: jnp.ndarray | None = None,
+    work_res: int = 150,
+) -> jnp.ndarray:
+    """Greedy mask-coverage NMS -> keep mask (N,).
+
+    Contract: reference `crowdsam/utils.py:422-459` (mask_iou_nms): masks are
+    resized to 150^2, processed score-descending, and a mask is suppressed
+    when max(inter/area_i, inter/area_j) vs any kept mask exceeds
+    `threshold` (strictly greater).
+    """
+    import jax
+
+    n = masks.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    small = jax.image.resize(
+        masks.astype(jnp.float32), (n, work_res, work_res), "nearest"
+    ) > 0.5
+    order = jnp.argsort(-jnp.where(valid, scores.astype(jnp.float32), -jnp.inf))
+    sm = small[order].reshape(n, -1).astype(jnp.float32)
+    areas = sm.sum(axis=1)
+    inter = sm @ sm.T
+    cov = jnp.maximum(
+        inter / jnp.maximum(areas[:, None], 1e-9),
+        inter / jnp.maximum(areas[None, :], 1e-9),
+    )
+    earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
+
+    def body(i, keep):
+        suppressed = jnp.any((cov[i] > threshold) & keep & earlier[i])
+        return keep.at[i].set(keep[i] & ~suppressed)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, valid[order])
+    return jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+
+
 def nms_indices(boxes, scores, categories, iou_threshold):
     """torchvision `batched_nms`-style interface: returns kept indices in
     descending score order (host-side convenience; triggers a sync)."""

@@ -1,0 +1,270 @@
+"""Batched + data-parallel inference over a device mesh.
+
+TPU-native replacement for the reference's one-subprocess-per-GPU evaluation
+(`tools/batch_eval.py:80-91`): a batch of B images runs as ONE program per
+stage — fused dual-backbone encode, vmapped EPS engine (the while_loop runs
+lockstep until every image's prompt budget drains), vmapped survivor pass —
+with the batch axis sharded over the mesh 'data' axis so each chip processes
+its own images and XLA keeps everything on ICI.  On a single chip the same
+path amortizes per-dispatch overhead and tunnel round trips across the
+batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from crowdsam_tpu.ops import rle as rle_ops
+from crowdsam_tpu.ops.amg import MaskData
+from crowdsam_tpu.ops.transforms import pad_to_square, resize_image
+from crowdsam_tpu.models.sam import PIXEL_MEAN, PIXEL_STD
+
+
+class ShardedPipeline:
+    """Wraps a CrowdSAM model with a batched `generate_batch`.
+
+    Restrictions (matching the default crowdhuman.yaml): crop_n_layers == 0
+    and the trained (non-trainfree) path.  mesh=None runs the same batched
+    programs on one device.
+    """
+
+    def __init__(self, model, mesh=None, batch: int = 4):
+        assert model.crop_n_layers == 0, "batched path requires crop_n_layers=0"
+        assert not model.train_free, "batched path requires the trained arch"
+        self.model = model
+        self.mesh = mesh
+        self.batch = batch
+        p = model.predictor
+        self.sam = model.sam
+        cfg = model.engine_cfg
+
+        def encode_b(params, dino_params, imgs, in_hw):
+            """imgs (B,S,S,3) raw pixels; in_hw (B,2) valid sizes ->
+            features/dino-proj/sim-map batch (the predictor encode + FG map
+            + sim prep fused into one program)."""
+            s = self.sam.img_size
+            mean = jnp.asarray(PIXEL_MEAN)
+            std = jnp.asarray(PIXEL_STD)
+            x = (imgs.astype(jnp.float32) - mean) / std
+            ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            inside = (ri[None] < in_hw[:, 0, None, None]) & (
+                ci[None] < in_hw[:, 1, None, None]
+            )
+            x = x * inside[..., None]
+
+            feats = self.sam.image_encoder.apply(
+                {"params": params["image_encoder"]}, x
+            )
+            d = p.dino_input
+            x_dino = jax.image.resize(
+                x, (x.shape[0], d, d, 3), "linear", antialias=False
+            )
+            dres = model.predictor.dino_model.apply({"params": dino_params}, x_dino)
+            g = p.dino_grid
+            dino_feats = dres["x_norm_patchtokens"].reshape(
+                -1, g, g, dres["x_norm_patchtokens"].shape[-1]
+            )
+
+            proj = self.sam.mask_decoder.apply(
+                {"params": params["mask_decoder"]}, dino_feats,
+                method=self.sam.mask_decoder.project_dino,
+            )  # (B, g, g, 256)
+            r = p.low_res
+            proj_r = jax.image.resize(
+                proj, (proj.shape[0], r, r, proj.shape[-1]),
+                "linear", antialias=False,
+            ).astype(jnp.bfloat16)
+
+            cls_map = self.sam.mask_decoder.apply(
+                {"params": params["mask_decoder"]}, proj,
+                method=self.sam.mask_decoder.classify_points,
+            )  # (B, g, g, C)
+            gsize = cfg.grid_size
+            cls256 = jax.image.resize(
+                cls_map.astype(jnp.float32),
+                (cls_map.shape[0], 256, 256, cls_map.shape[-1]),
+                "linear", antialias=False,
+            )
+            sim = jax.image.resize(
+                cls256, (cls256.shape[0], gsize, gsize, cls256.shape[-1]),
+                "linear", antialias=False,
+            )
+            sim = jnp.max(jax.nn.sigmoid(sim), axis=-1)  # (B, grid, grid)
+
+            dense_pe = self.sam.prompt_encoder.apply(
+                {"params": params["prompt_encoder"]},
+                method=self.sam.prompt_encoder.get_dense_pe,
+            )
+            return feats, proj_r, sim, dense_pe
+
+        raw_engine = model.engine.raw_fn
+
+        def engine_b(params, feats, dense_pe, proj_r, sim, feat_hw, in_hw,
+                     crop_box, orig_hw, downscale, keys):
+            return jax.vmap(
+                raw_engine,
+                in_axes=(None, 0, None, 0, 0, 0, 0, 0, 0, 0, 0),
+            )(params, feats[:, None], dense_pe, proj_r, sim, feat_hw, in_hw,
+              crop_box, orig_hw, downscale, keys)
+
+        from crowdsam_tpu.pipeline.engine import make_survivor_pass
+
+        survivor = make_survivor_pass(cfg, with_masks=model.output_rles)
+
+        def survivor_b(logits, ns):
+            return jax.vmap(survivor)(logits, ns)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+
+            def dshard(ndim):
+                return NamedSharding(mesh, P("data", *[None] * (ndim - 1)))
+
+            self._encode_b = jax.jit(
+                encode_b,
+                in_shardings=(repl, repl, dshard(4), dshard(2)),
+            )
+            self._engine_b = jax.jit(engine_b)
+            self._survivor_b = jax.jit(survivor_b)
+        else:
+            self._encode_b = jax.jit(encode_b)
+            self._engine_b = jax.jit(engine_b)
+            self._survivor_b = jax.jit(survivor_b)
+        self._key = jax.random.PRNGKey(model.config["environ"].get("seed", 42))
+
+    # ------------------------------------------------------------------
+    def generate_batch(self, images: List[np.ndarray]) -> List[MaskData]:
+        """Process a list of images; returns one MaskData per image (same
+        contract as CrowdSAM.generate with a single crop)."""
+        model = self.model
+        cfg = model.engine_cfg
+        s = self.sam.img_size
+        n_img = len(images)
+        out: List[Optional[MaskData]] = []
+
+        for chunk_start in range(0, n_img, self.batch):
+            chunk = images[chunk_start : chunk_start + self.batch]
+            b = len(chunk)
+            bb = self.batch  # static batch; pad with repeats
+            padded = np.zeros((bb, s, s, 3), dtype=np.uint8)
+            in_hws = np.zeros((bb, 2), dtype=np.int32)
+            metas = []
+            for i in range(bb):
+                img = np.asarray(chunk[min(i, b - 1)], dtype=np.uint8)
+                resized, downscale = resize_image(img, model.max_size)
+                ih, iw = resized.shape[:2]
+                padded[i, :ih, :iw] = resized
+                in_hws[i] = (ih, iw)
+                metas.append(
+                    dict(orig_hw=img.shape[:2], in_hw=(ih, iw),
+                         downscale=downscale)
+                )
+
+            feats, proj_r, sim, dense_pe = self._encode_b(
+                self.sam.params, model.predictor.dino_params,
+                jnp.asarray(padded), jnp.asarray(in_hws),
+            )
+
+            feat_hw = np.stack([
+                (int(m["in_hw"][0] * cfg.grid_size / max(m["in_hw"])),
+                 int(m["in_hw"][1] * cfg.grid_size / max(m["in_hw"])))
+                for m in metas
+            ]).astype(np.float32)
+            crop_boxes = np.stack([
+                (0, 0, m["orig_hw"][1], m["orig_hw"][0]) for m in metas
+            ]).astype(np.float32)
+            orig_hws = np.stack([m["orig_hw"] for m in metas]).astype(np.float32)
+            downs = np.asarray([m["downscale"] for m in metas], np.float32)
+
+            self._key, sub = jax.random.split(self._key)
+            keys = jax.random.split(sub, bb)
+            res = self._engine_b(
+                self.sam.params, feats, dense_pe, proj_r, sim,
+                jnp.asarray(feat_hw), jnp.asarray(in_hws, jnp.float32),
+                jnp.asarray(crop_boxes), jnp.asarray(orig_hws),
+                jnp.asarray(downs), keys,
+            )
+
+            summaries = np.asarray(res["summary"])  # (B, K, 12)
+            ns = (summaries[:, :, 0] > 0.5).sum(axis=1).astype(np.int32)
+            bucket = int(
+                next(bkt for bkt in (32, 64, 128, 192, 256, cfg.max_keep)
+                     if bkt >= min(int(ns.max(initial=0)) or 1, cfg.max_keep))
+            )
+            idx_pads = np.zeros((bb, bucket), dtype=np.int32)
+            for i in range(bb):
+                idx = np.nonzero(summaries[i, :, 0] > 0.5)[0]
+                idx_pads[i, : min(len(idx), bucket)] = idx[:bucket]
+            gathered = jnp.take_along_axis(
+                res["logits"], jnp.asarray(idx_pads)[:, :, None, None], axis=1
+            )
+            sp = self._survivor_b(
+                gathered, jnp.asarray(np.minimum(ns, bucket)),
+            )
+            sp_summary = np.asarray(sp["summary"])
+            packed_all = (
+                np.asarray(sp["packed"]) if model.output_rles else None
+            )
+
+            for i in range(b):
+                out.append(
+                    _assemble(model, cfg, summaries[i], sp_summary[i],
+                              None if packed_all is None else packed_all[i],
+                              idx_pads[i], int(ns[i]), metas[i])
+                )
+        return out
+
+
+def _assemble(model, cfg, summary, sp_summary, packed, idx_pad, n, meta):
+    """Host-side per-image assembly (mirrors CrowdSAM._process_crop tail)."""
+    if n == 0:
+        d = MaskData()
+        d["boxes"] = np.zeros((0, 4))
+        d["scores"] = np.zeros((0,))
+        d["rles"] = []
+        return d
+    idx = np.nonzero(summary[:, 0] > 0.5)[0]
+    m = min(n, len(idx_pad))
+    keep2 = sp_summary[:m, 0] > 0.5
+    changed = sp_summary[:m, 1] > 0.5
+    sel = np.nonzero(keep2)[0]
+    if len(sel) == 0:
+        d = MaskData()
+        d["boxes"] = np.zeros((0, 4))
+        d["scores"] = np.zeros((0,))
+        d["rles"] = []
+        return d
+    idx_final = idx[sel]
+    scale = model.sam.img_size / cfg.low_res
+    boxes_lr = summary[idx_final, 6:10]
+    boxes_lr = np.where(changed[sel][:, None], sp_summary[sel, 2:6], boxes_lr)
+    boxes_in = boxes_lr * scale
+
+    ih, iw = meta["in_hw"]
+    oh, ow = meta["orig_hw"]
+    ds = meta["downscale"]
+    data = MaskData(
+        iou_preds=summary[idx_final, 1],
+        scores=summary[idx_final, 2],
+        categories=summary[idx_final, 3].astype(np.int32),
+        stability_score=summary[idx_final, 4],
+        points=summary[idx_final, 10:12] / ds,
+    )
+    if packed is not None:
+        full = np.unpackbits(packed[sel], axis=-1)[:, :ih, :iw].astype(bool)
+        data["rles"] = rle_ops.encode_masks_coco(full)
+    else:
+        data["rles"] = [None] * len(sel)
+    data["boxes"] = boxes_in / ds
+    data["rles_info"] = [[0, 0, ow, oh], [oh, ow]]
+    data["crop_boxes"] = np.asarray([[0, 0, ow, oh]] * len(sel))
+    data["fboxes"] = data["boxes"]
+    return data

@@ -315,7 +315,9 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         out["num_consumed"] = s["consumed"]
         return out
 
-    return jax.jit(engine)
+    jitted = jax.jit(engine)
+    jitted.raw_fn = engine  # un-jitted core for vmap/sharded batching
+    return jitted
 
 
 def make_survivor_pass(cfg: EngineConfig, with_masks: bool):

@@ -91,9 +91,10 @@ class SamPredictor:
                 method=self.model.mask_decoder.project_dino,
             )  # (1, 73, 73, 256)
             r = self.low_res
+            # bf16: this map is re-read by every decode batch's PWD pooling.
             out["dino_proj_256"] = jax.image.resize(
                 proj[0], (r, r, proj.shape[-1]), "linear", antialias=False
-            )
+            ).astype(jnp.bfloat16)
         return out
 
     def set_image(self, image: np.ndarray, image_format: str = "RGB") -> None:
