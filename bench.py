@@ -28,6 +28,14 @@ def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
     import jax
 
+    # Persistent compilation cache: repeat bench runs skip the ~3-4 min
+    # compile phase.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     from crowdsam_tpu.config import load_config, modify_config
     from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
 
@@ -47,17 +55,33 @@ def main():
 
     model = CrowdSAM(cfg)
 
-    # Warmup / compile.
-    t0 = time.time()
-    result = model.generate(image)
-    compile_s = time.time() - t0
-
-    # Steady state.
+    batch = int(os.environ.get("BENCH_BATCH", "0"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.time()
-    for _ in range(iters):
+    if batch > 1:
+        # Batched/sharded throughput mode (images amortize dispatch +
+        # tunnel-round-trip overhead; the multi-chip eval path).
+        from crowdsam_tpu.parallel.eval_shard import ShardedPipeline
+
+        pipe = ShardedPipeline(model, mesh=None, batch=batch)
+        t0 = time.time()
+        results = pipe.generate_batch([image] * batch)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            results = pipe.generate_batch([image] * batch)
+        dt = (time.time() - t0) / (iters * batch)
+        result = results[0]
+    else:
+        # Warmup / compile.
+        t0 = time.time()
         result = model.generate(image)
-    dt = (time.time() - t0) / iters
+        compile_s = time.time() - t0
+
+        # Steady state.
+        t0 = time.time()
+        for _ in range(iters):
+            result = model.generate(image)
+        dt = (time.time() - t0) / iters
 
     n_det = len(result["boxes"])
     value = 1.0 / dt
