@@ -218,13 +218,23 @@ class CrowdSAM:
         )
         return jnp.max(jax.nn.sigmoid(x[0]), axis=0)
 
-    def _trainfree_sim_impl(self, dino_feats, ref_feature):
-        """Cosine similarity vs the cached reference feature over the 73^2
-        grid (reference model.py:206-218,308-316)."""
-        f = dino_feats[0]  # (73, 73, C)
-        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True).clip(1e-6)
+    def _trainfree_sim_impl(self, image_sq_u8, ref_feature):
+        """Train-free foreground map (reference model.py:206-218,308-316):
+        the image arrives stretched to the square DINO input (host PIL
+        resize, T.Resize((1022,1022)) semantics), is ImageNet-normalized —
+        NOT the SAM-normalized features the trained path uses — then scored
+        by cosine similarity against the cached reference feature."""
+        p = self.predictor
+        x = image_sq_u8.astype(jnp.float32) / 255.0
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        x = ((x - mean) / std)[None]
+        feats = p.dino_model.apply({"params": p.dino_params}, x)[
+            "x_norm_patchtokens"
+        ].reshape(p.dino_grid, p.dino_grid, -1)
+        f = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-6)
         r = ref_feature / jnp.linalg.norm(ref_feature).clip(1e-6)
-        return f @ r
+        return f @ r.astype(f.dtype)
 
     def _upsample_impl(self, logits):
         """Survivor low-res logits -> img_size^2 binary masks, bit-packed for
@@ -298,7 +308,13 @@ class CrowdSAM:
             r = cfg.grid_size / max(in_h, in_w)
             feat_hw = (int(in_h * r), int(in_w * r))
         else:
-            sim_map = self._trainfree_sim(self.predictor.dino_feats, self.ref_feature)
+            from PIL import Image as PILImage
+
+            d = self.predictor.dino_input
+            stretched = np.array(
+                PILImage.fromarray(self.image).resize((d, d), PILImage.BILINEAR)
+            )
+            sim_map = self._trainfree_sim(jnp.asarray(stretched), self.ref_feature)
             g = self.predictor.dino_grid
             feat_hw = (g, g)
 
