@@ -295,7 +295,47 @@ class CrowdSAM:
         data.to_numpy()
         return data
 
+    def generate_many(self, images) -> list:
+        """Pipelined multi-image inference: image k+1's device chain
+        (encode + engine) is dispatched before image k's host tail (summary
+        sync, survivor pass, RLE serialization) runs, so host work overlaps
+        device compute.  Falls back to sequential `generate` for multi-crop
+        configs.  Results match `generate` item by item (same RNG stream)."""
+        if self.crop_n_layers != 0:
+            return [self.generate(im) for im in images]
+
+        results = []
+        pending = None
+        for image in list(images) + [None]:
+            dispatched = None
+            if image is not None:
+                img = np.array(image, dtype=np.uint8) if not isinstance(
+                    image, np.ndarray
+                ) else image
+                crop_box = [0, 0, img.shape[1], img.shape[0]]
+                dispatched = self._dispatch_crop(img, crop_box)
+            if pending is not None:
+                data = self._finalize_crop(*pending)
+                out = MaskData()
+                if data is not None:
+                    out.cat(data)
+                    del out["iou_preds"]
+                else:
+                    out["boxes"] = np.zeros((0, 4))
+                    out["scores"] = np.zeros((0, 4))
+                if "rles" not in out:
+                    out["rles"] = []
+                out.to_numpy()
+                results.append(out)
+            pending = dispatched
+        return results
+
     def _process_crop(self, image, crop_box) -> Optional[MaskData]:
+        return self._finalize_crop(*self._dispatch_crop(image, crop_box))
+
+    def _dispatch_crop(self, image, crop_box):
+        """Async device chain for one crop: encode -> FG map -> engine.
+        Returns (engine result handles, crop metadata) without syncing."""
         self.crop_image(image, crop_box)
         self.predictor.set_image_presized(self.image)
         orig_h, orig_w = self.orig_image.shape[:2]
@@ -336,6 +376,18 @@ class CrowdSAM:
             jnp.float32(self.downscale),
             sub,
         )
+        meta = dict(crop_box=crop_box, orig_hw=(orig_h, orig_w),
+                    in_hw=(in_h, in_w), downscale=self.downscale)
+        return res, meta
+
+    def _finalize_crop(self, res, meta) -> Optional[MaskData]:
+        """Host tail for one dispatched crop: summary sync, bucketed
+        survivor pass, RLE/box assembly."""
+        cfg = self.engine_cfg
+        crop_box = meta["crop_box"]
+        orig_h, orig_w = meta["orig_hw"]
+        in_h, in_w = meta["in_hw"]
+        downscale = meta["downscale"]
 
         # One transfer for all per-detection scalars (each np.asarray is a
         # separate round trip over the tunnel otherwise).
@@ -385,7 +437,7 @@ class CrowdSAM:
             categories=summary[idx_final, 3].astype(np.int32),
             stability_score=summary[idx_final, 4],
             points=_uncrop_points_np(
-                summary[idx_final, 10:12], crop_box, self.downscale
+                summary[idx_final, 10:12], crop_box, downscale
             ),
         )
 
@@ -409,7 +461,7 @@ class CrowdSAM:
             )
         else:
             data["rles"] = [None] * len(sel)
-        data["boxes"] = _uncrop_boxes_np(boxes_in, crop_box, self.downscale)
+        data["boxes"] = _uncrop_boxes_np(boxes_in, crop_box, downscale)
         data["rles_info"] = [crop_box, [orig_h, orig_w]]
         data["crop_boxes"] = np.asarray([crop_box] * len(sel))
         data["fboxes"] = data["boxes"]

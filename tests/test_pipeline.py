@@ -118,3 +118,22 @@ def test_vanilla_sam_arch_runs_without_dino(rng):
     image = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
     data = model.generate(image)
     assert "boxes" in data.keys()
+
+
+def test_generate_many_matches_generate(rng):
+    from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+
+    images = [
+        rng.integers(0, 255, (160, 256, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    m1 = CrowdSAM(tiny_config())
+    seq = [m1.generate(im) for im in images]
+    m2 = CrowdSAM(tiny_config())
+    piped = m2.generate_many(images)
+    assert len(piped) == len(seq)
+    for a, b in zip(seq, piped):
+        assert len(a["boxes"]) == len(b["boxes"])
+        if len(a["boxes"]):
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-4)
+            np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
+            assert a["rles"] == b["rles"]
