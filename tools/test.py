@@ -77,11 +77,24 @@ def main():
 
     output_content = []
     logger.info(f"total images to process {len(image_ids)}")
-    for id_ in tqdm(image_ids):
-        image, gt_boxes, image_id = load_img_and_annotation(
-            dataset_path, annots, config["data"]["dataset"], id_
+
+    def image_iter():
+        for id_ in image_ids:
+            yield load_img_and_annotation(
+                dataset_path, annots, config["data"]["dataset"], id_
+            )
+
+    # Pipelined: image k+1's device chain overlaps image k's host tail.
+    loaded = list(image_iter()) if len(image_ids) <= 64 else None
+    if loaded is not None and model.crop_n_layers == 0 and not args.visualize:
+        results = model.generate_many([im for im, _, _ in loaded])
+        stream = zip(loaded, results)
+    else:
+        stream = (
+            ((im, gt, iid), model.generate(im)) for im, gt, iid in image_iter()
         )
-        result = model.generate(image)
+
+    for (image, gt_boxes, image_id), result in tqdm(stream, total=len(image_ids)):
         instance_dict = {"image_id": image_id, "num_gt": len(gt_boxes) - 1}
         instance_dict.update(
             {k: np.asarray(v).tolist() for k, v in result.items()
@@ -92,7 +105,9 @@ def main():
         )
         output_content.append(instance_dict)
         if args.visualize:
-            save_path = os.path.join(config["environ"]["output_dir"], f"{id_}.jpg")
+            save_path = os.path.join(
+                config["environ"]["output_dir"], f"{image_id}.jpg"
+            )
             result["gt_boxes"] = gt_boxes
             FP_list, FN_list = evaluate_boxes(
                 result["boxes"], result["scores"], gt_boxes, 0.5
