@@ -1,0 +1,142 @@
+"""Flash-attention dispatch for the ViT backbones.
+
+Uses the pallas TPU flash kernel with block sizes tuned on the bench chip
+(dense 5.56 ms vs flash 3.56 ms per DINOv2-sized block at 5376 tokens;
+the default BlockSizes lose to dense — see PERF.md).  Sequences pad to a
+block multiple with segment-id masking.  Enabled only on TPU with bf16
+compute; the dense path remains the reference semantics everywhere else.
+
+SAM's global blocks carry the decomposed relative-position bias
+(image_encoder.py contract).  The bias is content-dependent
+(q·Rh[qh,kh] + q·Rw[qw,kw]), so instead of materializing a (H, N, N) bias
+(that materialization is exactly what flash avoids), it is folded into
+QK^T exactly by augmenting the heads:
+
+    q' = [q * scale, q@Rh[qh], q@Rw[qw]]      (head_dim 64 -> 192)
+    k' = [k,        onehot(kh), onehot(kw)]
+
+so q'·k' = scale·q·k + q·Rh[qh,kh] + q·Rw[qw,kw], bit-for-bit the same
+attention logits (up to bf16 rounding).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def flash_enabled(dtype) -> bool:
+    if os.environ.get("CROWDSAM_DISABLE_FLASH"):
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=32)
+def _block_sizes(seq: int, head_dim: int):
+    """Tile sizes tuned on the bench chip (see PERF.md), scaled down for
+    large head dims so q/k/v tiles + the f32 scores tile stay inside the
+    ~16 MB VMEM scoped limit."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    def best(limit):
+        limit = max(limit, 128)
+        cands = [m * 128 for m in range(1, limit // 128 + 1) if seq % (m * 128) == 0]
+        return max(cands) if cands else 128
+
+    scale = max(1, head_dim // 64)
+    bq = best(1024 // scale)
+    bkm = best(4096 // scale)
+    bk = best(min(bq, bkm))
+    return BlockSizes(
+        block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkm,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+    )
+
+
+def flash_mha(q, k, v, sm_scale: float, valid_len: Optional[int] = None):
+    """(B, H, S, D) flash attention; pads S to a 128 multiple with segment
+    masking when valid_len < padded length.  D must be <=128 or a multiple
+    of 128 (pad the head dim yourself)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, s, d = q.shape
+    s_pad = -(-s // 128) * 128
+    seg = None
+    if s_pad != s or (valid_len is not None and valid_len < s_pad):
+        pad = s_pad - s
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vlen = valid_len if valid_len is not None else s
+        ids = (jnp.arange(s_pad) >= vlen).astype(jnp.int32)[None]
+        ids = jnp.broadcast_to(ids, (b, s_pad))
+        seg = SegmentIds(q=ids, kv=ids)
+    out = flash_attention(
+        q, k, v, segment_ids=seg, sm_scale=sm_scale, causal=False,
+        block_sizes=_block_sizes(s_pad, q.shape[-1]),
+    )
+    return out[:, :, :s]
+
+
+@lru_cache(maxsize=8)
+def _axis_onehots(size: int):
+    """(size^2, size) one-hot row / column indicators as numpy constants."""
+    rows = np.repeat(np.arange(size), size)
+    cols = np.tile(np.arange(size), size)
+    oh_r = np.zeros((size * size, size), np.float32)
+    oh_r[np.arange(size * size), rows] = 1.0
+    oh_c = np.zeros((size * size, size), np.float32)
+    oh_c[np.arange(size * size), cols] = 1.0
+    return oh_r, oh_c
+
+
+def flash_mha_decomposed_relpos(q, k, v, sm_scale: float, rel_h, rel_w,
+                                hw) -> jnp.ndarray:
+    """Global SAM attention with decomposed rel-pos folded into QK^T.
+
+    q, k, v: (B, H, S, D) with S = h*w; rel_h/rel_w: (h, h, D)/(w, w, D)
+    per-pair tables (already gathered).  Exact logits vs the dense
+    add_decomposed_rel_pos path.
+    """
+    hh, ww = hw
+    b, nh, s, d = q.shape
+    assert s == hh * ww and hh == ww
+
+    # f_h[n, j] = sum_c q[n, c] * rel_h[row(n), j, c]
+    qr = q.reshape(b, nh, hh, ww, d)
+    fh = jnp.einsum("bhrwc,rjc->bhrwj", qr, rel_h.astype(q.dtype))
+    fw = jnp.einsum("bhrwc,wjc->bhrwj", qr, rel_w.astype(q.dtype))
+    fh = fh.reshape(b, nh, s, hh)
+    fw = fw.reshape(b, nh, s, ww)
+
+    oh_r, oh_c = _axis_onehots(hh)
+    oh_r = jnp.asarray(oh_r, dtype=q.dtype)
+    oh_c = jnp.asarray(oh_c, dtype=q.dtype)
+    kr = jnp.broadcast_to(oh_r[None, None], (b, nh, s, hh))
+    kc = jnp.broadcast_to(oh_c[None, None], (b, nh, s, ww))
+
+    q_aug = jnp.concatenate([q * sm_scale, fh, fw], axis=-1)
+    k_aug = jnp.concatenate([k, kr, kc], axis=-1)
+    d_aug = q_aug.shape[-1]
+    d_pad = -(-d_aug // 128) * 128 if d_aug > 128 else d_aug
+    if d_pad != d_aug:
+        q_aug = jnp.pad(q_aug, ((0, 0),) * 3 + ((0, d_pad - d_aug),))
+        k_aug = jnp.pad(k_aug, ((0, 0),) * 3 + ((0, d_pad - d_aug),))
+    v_pad = jnp.pad(v, ((0, 0),) * 3 + ((0, d_pad - d),)) if d_pad != d else v
+    out = flash_mha(q_aug, k_aug, v_pad, sm_scale=1.0)
+    return out[..., :d]

@@ -31,14 +31,22 @@ class DinoAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from crowdsam_tpu.models.attention import flash_enabled, flash_mha
+
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) * (head_dim**-0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+        if flash_enabled(self.dtype) and n >= 1024:
+            out = flash_mha(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16), sm_scale=head_dim**-0.5, valid_len=n,
+            )
+        else:
+            attn = jnp.einsum("bhqc,bhkc->bhqk", q, k) * (head_dim**-0.5)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

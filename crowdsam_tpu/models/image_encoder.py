@@ -83,7 +83,7 @@ class Attention(nn.Module):
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.num_heads, h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bqc,bkc->bqk", q * scale, k)
+        rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h",
@@ -95,10 +95,36 @@ class Attention(nn.Module):
                 nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, head_dim),
             )
-            attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (h, w))
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        from crowdsam_tpu.models.attention import (
+            flash_enabled,
+            flash_mha_decomposed_relpos,
+        )
+
+        if (
+            flash_enabled(self.dtype)
+            and h == w
+            and h * w >= 1024
+            and self.use_rel_pos
+        ):
+            # Global block: flash attention with the rel-pos bias folded
+            # into QK^T via head augmentation (exact logits).
+            rh = _rel_pos_table(rel_pos_h, h)
+            rw = _rel_pos_table(rel_pos_w, w)
+            out = flash_mha_decomposed_relpos(
+                q.reshape(b, self.num_heads, h * w, head_dim).astype(jnp.bfloat16),
+                k.reshape(b, self.num_heads, h * w, head_dim).astype(jnp.bfloat16),
+                v.reshape(b, self.num_heads, h * w, head_dim).astype(jnp.bfloat16),
+                sm_scale=scale, rel_h=rh, rel_w=rw, hw=(h, w),
+            ).reshape(b * self.num_heads, h * w, head_dim)
+        else:
+            attn = jnp.einsum("bqc,bkc->bqk", q * scale, k)
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(
+                    attn, q, rel_pos_h, rel_pos_w, (h, w)
+                )
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bqk,bkc->bqc", attn, v)
         out = out.reshape(b, self.num_heads, h, w, head_dim)
         out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
