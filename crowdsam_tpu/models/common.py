@@ -3,7 +3,7 @@ and the MLP/DropMLP heads in `modeling/mask_decoder.py:204-254`)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax
@@ -12,8 +12,6 @@ import jax.numpy as jnp
 
 def gelu(x):
     """Exact (erf) GELU, matching torch nn.GELU default."""
-    import jax
-
     return jax.nn.gelu(x, approximate=False)
 
 

@@ -19,7 +19,7 @@ the module is self-contained and selected via `sam_arch: sam_hq`.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ batch.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax
@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from crowdsam_tpu.ops import rle as rle_ops
 from crowdsam_tpu.ops.amg import MaskData
-from crowdsam_tpu.ops.transforms import pad_to_square, resize_image
+from crowdsam_tpu.ops.transforms import resize_image
 from crowdsam_tpu.models.sam import PIXEL_MEAN, PIXEL_STD
 
 

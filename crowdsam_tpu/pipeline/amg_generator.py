@@ -20,7 +20,7 @@ rather than upstream SAM's 3.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from crowdsam_tpu.ops.amg import (
 )
 from crowdsam_tpu.ops.boxes import (
     box_area,
-    box_xyxy_to_cxcywh,
     is_box_near_crop_edge,
     uncrop_boxes_xyxy,
     uncrop_points,

@@ -30,8 +30,7 @@ fixed behaviour); candidate shuffling makes inference seed-dependent
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

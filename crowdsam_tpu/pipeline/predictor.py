@@ -18,8 +18,7 @@ recomputes it per decode batch).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

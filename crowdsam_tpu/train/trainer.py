@@ -24,7 +24,7 @@ backward exactly like the reference's requires_grad=False graph.
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

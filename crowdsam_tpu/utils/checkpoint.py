@@ -21,7 +21,7 @@ Native checkpoints use flax.serialization msgpack.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

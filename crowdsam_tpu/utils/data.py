@@ -8,7 +8,7 @@ visualization overlays (:482-524).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ load without Python.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
