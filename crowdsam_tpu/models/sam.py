@@ -46,6 +46,65 @@ class Sam:
         return self.image_encoder.img_size
 
 
+def forward_batched(sam: "Sam", batched_input, multimask_output: bool):
+    """End-to-end list-of-dicts API (reference `sam.py:52-130`).
+
+    Each record: {'image': (H,W,3) array already ResizeLongestSide'd,
+    'original_size': (h, w), optional 'point_coords' (B,N,2) /
+    'point_labels' (B,N) / 'boxes' (B,4) / 'mask_inputs' (B,256,256,1)}.
+    Returns a list of {'masks', 'iou_predictions', 'low_res_logits'} —
+    convenience surface; SamPredictor is the efficient repeated-prompt path.
+    """
+    import numpy as np
+
+    outputs = []
+    for record in batched_input:
+        image = np.asarray(record["image"])
+        x = preprocess(jnp.asarray(image)[None], sam.img_size)
+        embedding = sam.image_encoder.apply(
+            {"params": sam.params["image_encoder"]}, x
+        )
+        points = None
+        if "point_coords" in record:
+            points = (
+                jnp.asarray(record["point_coords"], jnp.float32),
+                jnp.asarray(record["point_labels"], jnp.int32),
+            )
+        sparse, dense = sam.prompt_encoder.apply(
+            {"params": sam.params["prompt_encoder"]},
+            points=points,
+            boxes=(
+                jnp.asarray(record["boxes"], jnp.float32)
+                if "boxes" in record else None
+            ),
+            masks=(
+                jnp.asarray(record["mask_inputs"], jnp.float32)
+                if "mask_inputs" in record else None
+            ),
+        )
+        pe = sam.prompt_encoder.apply(
+            {"params": sam.params["prompt_encoder"]},
+            method=sam.prompt_encoder.get_dense_pe,
+        )
+        r = sam.img_size // 4
+        low_res, iou_pred, _ = sam.mask_decoder.apply(
+            {"params": sam.params["mask_decoder"]},
+            embedding, pe, sparse, dense, multimask_output,
+            dino_feats_proj=jnp.zeros((r, r, 256)),
+        )
+        masks = postprocess_masks(
+            low_res, image.shape[:2], record["original_size"], sam.img_size
+        )
+        outputs.append(
+            {
+                "masks": masks > sam.mask_threshold,
+                "iou_predictions": iou_pred,
+                "low_res_logits": low_res,
+            }
+        )
+    return outputs
+
+
 def preprocess(x: jnp.ndarray, img_size: int = 1024) -> jnp.ndarray:
     """Normalize + bottom-right pad to (B, img_size, img_size, 3) float32.
 

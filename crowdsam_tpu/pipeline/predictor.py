@@ -165,6 +165,32 @@ class SamPredictor:
         assert self.is_image_set and self.dino_feats is not None
         return self._fg_map_jit(self.model.params, self.dino_feats)
 
+    def predict_fg_with_prototypes(self, prototypes, img_size=None) -> jnp.ndarray:
+        """Prototype-similarity FG map (reference predictor.py:123-131, the
+        COCO multi-class variant): cosine of L2-normalized DINO patch tokens
+        against per-class prototype means -> (1, n_class, 256, 256) logits.
+
+        prototypes: (n_class, k, C) or (n_class, C) class prototype bank.
+        """
+        assert self.is_image_set and self.dino_feats is not None
+        protos = jnp.asarray(prototypes)
+        if protos.ndim == 3:
+            protos = protos.mean(axis=1)
+
+        @jax.jit
+        def run(dino_feats, protos):
+            f = dino_feats / jnp.linalg.norm(
+                dino_feats, axis=-1, keepdims=True
+            ).clip(1e-6)
+            sim = jnp.einsum("bhwc,nc->bnhw", f, protos)
+            return jax.image.resize(
+                sim.astype(jnp.float32),
+                (sim.shape[0], sim.shape[1], 256, 256),
+                "linear", antialias=False,
+            )
+
+        return run(self.dino_feats, protos)
+
     # ------------------------------------------------------------------ decode
     def _decode_impl(
         self,
