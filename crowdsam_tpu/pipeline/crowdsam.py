@@ -194,6 +194,7 @@ class CrowdSAM:
             accumulate_occupy=tpucfg.get("accumulate_occupy", False),
             fuse_simmap=self.fuse_simmap,
             cc_max_iters=tpucfg.get("cc_max_iters", 192),
+            fused_decode=tpucfg.get("fused_decode", True),
         )
         self.engine = make_eps_engine(
             sam.prompt_encoder, sam.mask_decoder, self.engine_cfg

@@ -35,6 +35,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from crowdsam_tpu.models.fused_decode import (
+    fused_decode,
+    precompute_decode_shared,
+)
 from crowdsam_tpu.ops.amg import batched_mask_to_box, calculate_stability_score
 from crowdsam_tpu.ops.boxes import is_box_near_crop_edge
 from crowdsam_tpu.ops.connected import remove_small_regions
@@ -65,6 +69,7 @@ class EngineConfig:
     fuse_simmap: bool = False
     max_keep: int = 320           # post-NMS survivor slab
     cc_max_iters: int = 192
+    fused_decode: bool = True     # hoisted/low-rank decoder (fused_decode.py)
 
     @property
     def max_iters(self) -> int:
@@ -111,10 +116,25 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
     N = G * G
     SLAB = cfg.slab
 
+    num_heads = mask_decoder.transformer_num_heads
+    dec_dtype = mask_decoder.dtype
+    n_class = mask_decoder.n_class
+
     def engine(params, features, dense_pe, dino_feats_proj, sim_map,
                feat_hw, input_hw, crop_box, orig_hw, downscale, key):
         feat_h, feat_w = feat_hw[0], feat_hw[1]
         in_h, in_w = input_hw[0], input_hw[1]
+
+        # Per-image shared decoder tensors, hoisted out of the while loop
+        # (block-1 image projections, PE-side terms, fused wide kernels).
+        dec_shared = (
+            precompute_decode_shared(
+                params["mask_decoder"],
+                params["prompt_encoder"]["no_mask_embed"],
+                features, dense_pe, num_heads=num_heads, dtype=dec_dtype,
+            )
+            if cfg.fused_decode else None
+        )
 
         # ------------------------------------------------------------------
         # Candidate generation (reference model.py:201-223,445-449)
@@ -185,15 +205,22 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
                 {"params": params["prompt_encoder"]},
                 points=(tcoords[:, None, :], jnp.ones((K, 1), jnp.int32)),
             )
-            masks, iou_pred, cls_scores = mask_decoder.apply(
-                {"params": params["mask_decoder"]},
-                features,
-                dense_pe,
-                sparse,
-                dense,
-                True,
-                dino_feats_proj=dino_feats_proj,
-            )  # (K,4,R,R), (K,4), (K,4,n_class)
+            if cfg.fused_decode:
+                masks, iou_pred, cls_scores = fused_decode(
+                    params["mask_decoder"], dec_shared, sparse, True,
+                    dino_feats_proj=dino_feats_proj,
+                    num_heads=num_heads, dtype=dec_dtype, n_class=n_class,
+                )
+            else:
+                masks, iou_pred, cls_scores = mask_decoder.apply(
+                    {"params": params["mask_decoder"]},
+                    features,
+                    dense_pe,
+                    sparse,
+                    dense,
+                    True,
+                    dino_feats_proj=dino_feats_proj,
+                )  # (K,4,R,R), (K,4), (K,4,n_class)
 
             # iou fusion quirk (model.py:351): clamp then * sigmoid(cls).
             cls_best = jnp.max(cls_scores, axis=-1)          # (K, 4)
