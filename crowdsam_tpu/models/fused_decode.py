@@ -178,10 +178,17 @@ def fused_decode(
     num_heads: int = 8,
     dtype: Any = jnp.float32,
     n_class: int = 1,
+    packed_masks: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (masks (P,K,4h*4,4w*4... low-res), iou_pred (P,K), cls (P,K,n_class));
-    same contract as `MaskDecoder.__call__` for point prompts (dense prompt ==
-    no_mask_embed, no attn_sim / target_embedding)."""
+    """-> (masks, iou_pred (P,K), cls (P,K,n_class)); same contract as
+    `MaskDecoder.__call__` for point prompts (dense prompt == no_mask_embed,
+    no attn_sim / target_embedding).
+
+    With `packed_masks=False`, masks are spatial (P, K, 4h, 4w).  With
+    `packed_masks=True`, masks come back in the transpose-free packed layout
+    (P, K, h*w, 16) of ops.packed (measured 5x faster upscale chain on TPU);
+    then `dino_feats_proj` must be the packed-flat (h*w*16, C) DINO map
+    (pack_spatial over the spatial axes, reshaped)."""
     t = dec_params["transformer"]
     iou_token = dec_params["iou_token"]
     mask_tokens = dec_params["mask_tokens"]
@@ -277,20 +284,6 @@ def fused_decode(
     mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens, :]
 
     # ---------------- upscaling + hypernetwork masks ------------------------
-    src = keys2.reshape(p_cnt, h, w, c)
-    up = _dense(src, dec_params["upscale_0"]["dense"], dtype)
-    up = up.reshape(p_cnt, h, w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
-    up = up.reshape(p_cnt, 2 * h, 2 * w, -1)
-    up = _ln_impl(
-        up, dec_params["upscale_1"]["weight"], dec_params["upscale_1"]["bias"],
-        1e-6, dtype,
-    )
-    up = gelu(up)
-    up = _dense(up, dec_params["upscale_3"]["dense"], dtype)
-    up = up.reshape(p_cnt, 2 * h, 2 * w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
-    up = up.reshape(p_cnt, 4 * h, 4 * w, -1)
-    up = gelu(up)
-
     hyper_in = jnp.stack(
         [
             _relu_mlp(dec_params[f"hyper_mlps_{i}"], mask_tokens_out[:, i, :],
@@ -299,10 +292,44 @@ def fused_decode(
         ],
         axis=1,
     )
-    hh, ww = up.shape[1], up.shape[2]
-    masks = jnp.einsum(
-        "pkc,pxc->pkx", hyper_in, up.reshape(p_cnt, hh * ww, -1)
-    ).reshape(p_cnt, num_mask_tokens, hh, ww)
+
+    if packed_masks:
+        # Transpose-free packed layout (ops.packed): the conv-transpose
+        # depth-to-space stays folded into the channel axis.
+        m = h * w
+        up = _dense(keys2, dec_params["upscale_0"]["dense"], dtype)
+        up = up.reshape(p_cnt, m, 4, -1)
+        up = _ln_impl(
+            up, dec_params["upscale_1"]["weight"],
+            dec_params["upscale_1"]["bias"], 1e-6, dtype,
+        )
+        up = gelu(up)
+        w2 = dec_params["upscale_3"]["dense"]
+        up = jnp.einsum(
+            "pxqc,cd->pxqd", up, w2["kernel"].astype(dtype)
+        ) + w2["bias"].astype(dtype)
+        up = gelu(up)                          # (P, m, 4, 4*c2)
+        up = up.reshape(p_cnt, m, 16, -1)
+        masks = jnp.einsum("pkc,pxqc->pkxq", hyper_in, up)  # (P, K, m, 16)
+        hh = ww = None
+    else:
+        src = keys2.reshape(p_cnt, h, w, c)
+        up = _dense(src, dec_params["upscale_0"]["dense"], dtype)
+        up = up.reshape(p_cnt, h, w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
+        up = up.reshape(p_cnt, 2 * h, 2 * w, -1)
+        up = _ln_impl(
+            up, dec_params["upscale_1"]["weight"],
+            dec_params["upscale_1"]["bias"], 1e-6, dtype,
+        )
+        up = gelu(up)
+        up = _dense(up, dec_params["upscale_3"]["dense"], dtype)
+        up = up.reshape(p_cnt, 2 * h, 2 * w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
+        up = up.reshape(p_cnt, 4 * h, 4 * w, -1)
+        up = gelu(up)
+        hh, ww = up.shape[1], up.shape[2]
+        masks = jnp.einsum(
+            "pkc,pxc->pkx", hyper_in, up.reshape(p_cnt, hh * ww, -1)
+        ).reshape(p_cnt, num_mask_tokens, hh, ww)
 
     iou_pred = _relu_mlp(dec_params["iou_prediction_head"], iou_token_out,
                          3, dtype)
@@ -310,14 +337,17 @@ def fused_decode(
     if dino_feats_proj is None:
         cls_scores = jnp.zeros((p_cnt, num_mask_tokens, n_class))
     else:
+        npix = 16 * h * w
         mask_weight = jax.nn.softmax(
-            masks.reshape(p_cnt, num_mask_tokens, hh * ww).astype(jnp.float32),
+            masks.reshape(p_cnt, num_mask_tokens, npix).astype(jnp.float32),
             axis=-1,
         )
+        # In packed mode dino_feats_proj is packed-flat, so the contraction
+        # pairs each weight with the matching packed DINO element.
         pooled = jnp.einsum(
             "pkx,xc->pkc",
             mask_weight.astype(dtype),
-            dino_feats_proj.reshape(hh * ww, -1).astype(dtype),
+            dino_feats_proj.reshape(npix, -1).astype(dtype),
         )
         cls_scores = _relu_mlp(dec_params["point_classifier"], pooled, 2, dtype)
 

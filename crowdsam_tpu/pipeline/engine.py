@@ -43,6 +43,13 @@ from crowdsam_tpu.ops.amg import batched_mask_to_box, calculate_stability_score
 from crowdsam_tpu.ops.boxes import is_box_near_crop_edge
 from crowdsam_tpu.ops.connected import remove_small_regions
 from crowdsam_tpu.ops.nms import nms_mask
+from crowdsam_tpu.ops.packed import (
+    pack_spatial,
+    packed_coord_maps,
+    packed_flat_index,
+    packed_mask_to_box,
+    unpack_spatial,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +126,9 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
     num_heads = mask_decoder.transformer_num_heads
     dec_dtype = mask_decoder.dtype
     n_class = mask_decoder.n_class
+    # In the fused path the whole loop works on packed masks (ops.packed):
+    # no depth-to-space transposes, 5x faster mask head (see fused_decode).
+    BH = R // 4  # packed base grid (== decoder feature resolution)
 
     def engine(params, features, dense_pe, dino_feats_proj, sim_map,
                feat_hw, input_hw, crop_box, orig_hw, downscale, key):
@@ -127,14 +137,18 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
 
         # Per-image shared decoder tensors, hoisted out of the while loop
         # (block-1 image projections, PE-side terms, fused wide kernels).
-        dec_shared = (
-            precompute_decode_shared(
+        if cfg.fused_decode:
+            dec_shared = precompute_decode_shared(
                 params["mask_decoder"],
                 params["prompt_encoder"]["no_mask_embed"],
                 features, dense_pe, num_heads=num_heads, dtype=dec_dtype,
             )
-            if cfg.fused_decode else None
-        )
+            dino_packed = pack_spatial(
+                jnp.moveaxis(dino_feats_proj, -1, 0)
+            ).reshape(dino_feats_proj.shape[-1], -1).T  # (R*R, C) packed-flat
+            xmap, ymap = packed_coord_maps(BH, BH)
+        else:
+            dec_shared = dino_packed = xmap = ymap = None
 
         # ------------------------------------------------------------------
         # Candidate generation (reference model.py:201-223,445-449)
@@ -156,10 +170,17 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         pts = jnp.stack([px, py], axis=-1)  # (N, 2) int32
         # Low-res occupy lookup indices (256^2 spans the padded img_size frame).
         lr_scale = R / cfg.img_size
-        occ_idx = (
-            jnp.clip((py.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1) * R
-            + jnp.clip((px.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1)
+        occ_py = jnp.clip(
+            (py.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1
         )
+        occ_px = jnp.clip(
+            (px.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1
+        )
+        if cfg.fused_decode:
+            # The occupy bitmap lives in packed-flat order in the fused path.
+            occ_idx = packed_flat_index(occ_py, occ_px, BH)
+        else:
+            occ_idx = occ_py * R + occ_px
 
         # Prompt-frame transform (ResizeLongestSide.apply_coords semantics).
         scale = cfg.img_size / jnp.maximum(in_h, in_w).astype(jnp.float32)
@@ -170,12 +191,13 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         # ------------------------------------------------------------------
         # Slabs
         # ------------------------------------------------------------------
+        logit_shape = (SLAB, BH * BH, 16) if cfg.fused_decode else (SLAB, R, R)
         state = dict(
             it=jnp.int32(0),
             consumed=jnp.int32(0),
             alive=alive0,
             occupy=jnp.zeros((R * R,), dtype=bool),
-            logits=jnp.zeros((SLAB, R, R), dtype=jnp.bfloat16),
+            logits=jnp.zeros(logit_shape, dtype=jnp.bfloat16),
             iou=jnp.full((SLAB,), -jnp.inf, dtype=jnp.float32),
             cat=jnp.zeros((SLAB,), dtype=jnp.int32),
             stab=jnp.zeros((SLAB,), dtype=jnp.float32),
@@ -208,9 +230,10 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
             if cfg.fused_decode:
                 masks, iou_pred, cls_scores = fused_decode(
                     params["mask_decoder"], dec_shared, sparse, True,
-                    dino_feats_proj=dino_feats_proj,
+                    dino_feats_proj=dino_packed,
                     num_heads=num_heads, dtype=dec_dtype, n_class=n_class,
-                )
+                    packed_masks=True,
+                )  # masks: (K, 4, BH*BH, 16) packed
             else:
                 masks, iou_pred, cls_scores = mask_decoder.apply(
                     {"params": params["mask_decoder"]},
@@ -243,7 +266,12 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
                 keep &= stab >= cfg.stability_score_thresh
 
             binm = m_sel > cfg.mask_threshold
-            boxes_lr = batched_mask_to_box(binm).astype(jnp.float32)
+            if cfg.fused_decode:
+                boxes_lr = packed_mask_to_box(
+                    binm, xmap, ymap, BH, BH
+                ).astype(jnp.float32)
+            else:
+                boxes_lr = batched_mask_to_box(binm).astype(jnp.float32)
             # Crop-edge filter in image coords (model.py:386-389).
             boxes_img = boxes_lr * (cfg.img_size / R)
             near = is_box_near_crop_edge(
@@ -283,11 +311,15 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         # ------------------------------------------------------------------
         keep_nms = nms_mask(s["boxes"], s["iou"], cfg.box_nms_thresh, s["valid"])
 
-        # Compact survivors into a max_keep slab (score-descending).
+        # Compact survivors into a max_keep slab (score-descending); packed
+        # slab logits are unpacked to spatial here, once, for survivors only.
         score_key = jnp.where(keep_nms, s["iou"], -jnp.inf)
         top = jnp.argsort(-score_key)[: cfg.max_keep]
+        top_logits = s["logits"][top]
+        if cfg.fused_decode:
+            top_logits = unpack_spatial(top_logits, BH, BH)
         out = {
-            "logits": s["logits"][top],
+            "logits": top_logits,
             "iou": s["iou"][top],
             "categories": s["cat"][top],
             "stability": s["stab"][top],

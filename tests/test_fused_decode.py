@@ -151,3 +151,33 @@ def test_engine_fused_vs_module_path():
     np.testing.assert_array_equal(
         np.asarray(out_fused["masks"]), np.asarray(out_ref["masks"])
     )
+
+
+def test_fused_decode_packed_matches_spatial(setup):
+    from crowdsam_tpu.ops.packed import pack_spatial, unpack_spatial
+
+    sam, feats, pe, sparse, dense, dino = setup
+    h = sam.image_encoder.img_size // sam.image_encoder.patch_size
+
+    shared = precompute_decode_shared(
+        sam.params["mask_decoder"],
+        sam.params["prompt_encoder"]["no_mask_embed"],
+        feats, pe, num_heads=8, dtype=jnp.float32,
+    )
+    m_sp, iou_sp, cls_sp = fused_decode(
+        sam.params["mask_decoder"], shared, sparse, True,
+        dino_feats_proj=dino, num_heads=8, dtype=jnp.float32, n_class=3,
+    )
+    dino_packed = pack_spatial(
+        jnp.moveaxis(dino, -1, 0)            # (C, 4h, 4w)
+    ).reshape(dino.shape[-1], -1).T           # (h*w*16, C)
+    m_pk, iou_pk, cls_pk = fused_decode(
+        sam.params["mask_decoder"], shared, sparse, True,
+        dino_feats_proj=dino_packed, num_heads=8, dtype=jnp.float32,
+        n_class=3, packed_masks=True,
+    )
+    assert m_pk.shape == (sparse.shape[0], 4, h * h, 16)
+    m_pk_sp = unpack_spatial(m_pk, h, h)
+    np.testing.assert_allclose(m_pk_sp, m_sp, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(iou_pk, iou_sp, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cls_pk, cls_sp, rtol=2e-4, atol=2e-4)
