@@ -19,6 +19,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _local_hop(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """One 3x3 max-label hop (8-connected), masked to foreground."""
+    return jnp.where(
+        mask,
+        jax.lax.reduce_window(
+            labels,
+            jnp.int32(0),
+            jax.lax.max,
+            window_dimensions=(1, 3, 3),
+            window_strides=(1, 1, 1),
+            padding=((0, 0), (1, 1), (1, 1)),
+        ),
+        0,
+    )
+
+
+def label_components_local(mask: jnp.ndarray, hops: int) -> jnp.ndarray:
+    """Labels after a FIXED number of 3x3 max hops.
+
+    Exact (fully converged) for every component whose graph diameter is
+    <= hops; larger components end up partitioned into connected label
+    regions that are still growing.  Used by the small-threshold window
+    test in `remove_small_regions`, which detects and ignores unconverged
+    regions — so no convergence loop (and no per-sweep reduction) is needed.
+    """
+    b, h, w = mask.shape
+    idx = jnp.arange(1, h * w + 1, dtype=jnp.int32).reshape(1, h, w)
+    labels0 = jnp.where(mask, idx, 0)
+    return jax.lax.fori_loop(
+        0, hops, lambda _, lab: _local_hop(lab, mask), labels0
+    )
+
+
 def label_components(
     mask: jnp.ndarray, max_iters: int = 256
 ) -> jnp.ndarray:
@@ -122,6 +155,57 @@ def component_areas(labels: jnp.ndarray) -> jnp.ndarray:
 _MAX_RADIUS = 8
 
 
+def _windowed_count_and_ok(labels: jnp.ndarray, working: jnp.ndarray,
+                           radius: int):
+    """(count, converged) for the bounded-hop window test.
+
+    count: per-pixel number of same-label pixels within L-inf `radius`
+    (including self).  converged: True iff every same-label pixel in the
+    window is boundary-converged (all its 8 neighbors are same-label or
+    background) — i.e. the center pixel's label region is a COMPLETE
+    connected component lying inside the window, so `count` is its exact
+    area.  For a region reaching past the window edge, the path from the
+    center to the edge alone contributes radius+1 same-label pixels, so
+    `count < T` (with radius = ceil(T)-1) already excludes it; `converged`
+    additionally rejects still-growing partitions of big components, making
+    `small = working & (count < T) & converged` exact in both directions
+    after only ceil(T) local hops."""
+    h, w = labels.shape[-2:]
+    # boundary_ok: all 8 neighbors same-label or background (zero pad = bg).
+    pad1 = jnp.pad(labels, ((0, 0), (1, 1), (1, 1)), constant_values=0)
+    ok = working
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = jax.lax.dynamic_slice(pad1, (0, 1 + dy, 1 + dx), labels.shape)
+            ok = ok & ((nb == labels) | (nb == 0))
+
+    padded = jnp.pad(
+        labels, ((0, 0), (radius, radius), (radius, radius)), constant_values=0
+    )
+    padded_ok = jnp.pad(
+        ok, ((0, 0), (radius, radius), (radius, radius)), constant_values=False
+    )
+    count = jnp.zeros(labels.shape, jnp.int32)
+    okc = jnp.zeros(labels.shape, jnp.int32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            nb = jax.lax.dynamic_slice(
+                padded, (0, radius + dy, radius + dx), labels.shape
+            )
+            same = nb == labels
+            count = count + same
+            okc = okc + (
+                same
+                & jax.lax.dynamic_slice(
+                    padded_ok, (0, radius + dy, radius + dx), labels.shape
+                )
+            )
+    count = jnp.where(working, count, 0)
+    return count, working & (okc == count)
+
+
 def _windowed_same_label_count(labels: jnp.ndarray, working: jnp.ndarray,
                                radius: int) -> jnp.ndarray:
     """Per-pixel count of same-component pixels within L-inf `radius`.
@@ -163,14 +247,20 @@ def remove_small_regions(
     assert mode in ("holes", "islands")
     correct_holes = mode == "holes"
     working = jnp.logical_xor(correct_holes, masks)  # fg of the working mask
-    labels = label_components(working, max_iters)
 
     radius = max(int(-(-area_thresh // 1)) - 1, 1)
     use_window = radius <= _MAX_RADIUS
     if use_window:
-        count = _windowed_same_label_count(labels, working, radius)
-        small = working & (count < area_thresh)
+        # Bounded-hop path: components below the threshold have diameter
+        # <= radius, so radius+1 local hops fully converge them; larger
+        # components are rejected by the window count or the convergence
+        # check (see _windowed_count_and_ok) — exact without a global
+        # convergence loop.
+        labels = label_components_local(working, radius + 1)
+        count, converged = _windowed_count_and_ok(labels, working, radius)
+        small = working & (count < area_thresh) & converged
     else:
+        labels = label_components(working, max_iters)
         areas = component_areas(labels)
         small = working & (areas < area_thresh)
     changed = jnp.any(small, axis=(1, 2))

@@ -85,3 +85,42 @@ def test_islands_keep_largest_when_all_small():
     got = np.asarray(got)[0]
     assert got.sum() == 9 and got[8:11, 8:11].all()
     assert bool(np.asarray(changed)[0])
+
+
+def test_remove_small_regions_noise_matches_cv2(rng):
+    """Pure noise: worst case for label convergence (many thin diagonal
+    structures); exercises the bounded-hop windowed path at the engine's
+    real threshold (100px at 1024^2 -> 6.25 at 256^2)."""
+    for i in range(3):
+        mask = rng.random((96, 96)) > 0.5
+        for mode in ["holes", "islands"]:
+            want, want_changed = _cv2_remove_small_regions(mask, 6.25, mode)
+            got, got_changed = remove_small_regions(
+                jnp.asarray(mask[None]), 6.25, mode
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got)[0], want, err_msg=f"iter={i} mode={mode}"
+            )
+            assert bool(np.asarray(got_changed)[0]) == want_changed
+
+
+def test_remove_small_regions_staircase():
+    """A long 8-connected diagonal staircase is one LARGE component whose
+    labels converge only after O(length) global sweeps; the bounded-hop
+    window test must still keep it (convergence check rejects the
+    still-growing label partitions)."""
+    mask = np.zeros((1, 64, 64), dtype=bool)
+    for i in range(60):
+        mask[0, i, i] = True
+    got, changed = remove_small_regions(jnp.asarray(mask), 6.25, "islands")
+    np.testing.assert_array_equal(np.asarray(got)[0], mask[0])
+    assert not bool(np.asarray(changed)[0])
+    # And small diagonal fragments ARE removed.
+    frag = np.zeros((1, 64, 64), dtype=bool)
+    frag[0, [2, 3, 4], [2, 3, 4]] = True      # area 3 < 6.25
+    for i in range(20, 40):
+        frag[0, i, i] = True                   # area 20 survives
+    got, changed = remove_small_regions(jnp.asarray(frag), 6.25, "islands")
+    got = np.asarray(got)[0]
+    assert not got[2, 2] and got[25, 25]
+    assert bool(np.asarray(changed)[0])
