@@ -305,30 +305,36 @@ class CrowdSAM:
         if self.crop_n_layers != 0:
             return [self.generate(im) for im in images]
 
+        from collections import deque
+
+        lookahead = 2  # images in flight: hides upload + host-tail latency
         results = []
-        pending = None
-        for image in list(images) + [None]:
-            dispatched = None
-            if image is not None:
-                img = np.array(image, dtype=np.uint8) if not isinstance(
-                    image, np.ndarray
-                ) else image
-                crop_box = [0, 0, img.shape[1], img.shape[0]]
-                dispatched = self._dispatch_crop(img, crop_box)
-            if pending is not None:
-                data = self._finalize_crop(*pending)
-                out = MaskData()
-                if data is not None:
-                    out.cat(data)
-                    del out["iou_preds"]
-                else:
-                    out["boxes"] = np.zeros((0, 4))
-                    out["scores"] = np.zeros((0, 4))
-                if "rles" not in out:
-                    out["rles"] = []
-                out.to_numpy()
-                results.append(out)
-            pending = dispatched
+        pending = deque()
+
+        def finalize_one():
+            data = self._finalize_crop(*pending.popleft())
+            out = MaskData()
+            if data is not None:
+                out.cat(data)
+                del out["iou_preds"]
+            else:
+                out["boxes"] = np.zeros((0, 4))
+                out["scores"] = np.zeros((0, 4))
+            if "rles" not in out:
+                out["rles"] = []
+            out.to_numpy()
+            results.append(out)
+
+        for image in images:
+            img = np.array(image, dtype=np.uint8) if not isinstance(
+                image, np.ndarray
+            ) else image
+            crop_box = [0, 0, img.shape[1], img.shape[0]]
+            pending.append(self._dispatch_crop(img, crop_box))
+            if len(pending) > lookahead:
+                finalize_one()
+        while pending:
+            finalize_one()
         return results
 
     def _process_crop(self, image, crop_box) -> Optional[MaskData]:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crowdsam_tpu.models.sam import PIXEL_MEAN, PIXEL_STD, Sam, postprocess_masks
-from crowdsam_tpu.ops.transforms import ResizeLongestSide, pad_to_square
+from crowdsam_tpu.ops.transforms import ResizeLongestSide
 
 
 class SamPredictor:
@@ -49,18 +49,23 @@ class SamPredictor:
         self.reset_image()
 
     # ------------------------------------------------------------------ encode
-    def _encode_impl(self, params, dino_params, padded_img, input_hw):
-        """padded_img: (1, S, S, 3) float raw pixels; input_hw: (2,) valid size."""
+    def _encode_impl(self, params, dino_params, bucket_img, input_hw):
+        """bucket_img: (1, hb, wb, 3) raw pixels, hb/wb <= S (the unpadded
+        upload bucket); input_hw: (2,) valid size.  Pads to the square SAM
+        frame on device."""
         s = self.model.img_size
+        hb, wb = bucket_img.shape[1], bucket_img.shape[2]
         mean = jnp.asarray(PIXEL_MEAN)
         std = jnp.asarray(PIXEL_STD)
-        x = (padded_img.astype(jnp.float32) - mean) / std
+        x = (bucket_img.astype(jnp.float32) - mean) / std
         # Zero out the padding *after* normalization (reference pads the
         # normalized tensor, sam.py:163-173).
-        ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
         inside = (ri < input_hw[0]) & (ci < input_hw[1])
         x = x * inside[None, :, :, None]
+        if (hb, wb) != (s, s):
+            x = jnp.pad(x, ((0, 0), (0, s - hb), (0, s - wb), (0, 0)))
 
         features = self.model.image_encoder.apply(
             {"params": params["image_encoder"]}, x
@@ -102,29 +107,29 @@ class SamPredictor:
         if image_format != self.model.image_format:
             image = image[..., ::-1]
         input_image = self.transform.apply_image(image)
+        self.set_image_presized(input_image)
         self.original_size = tuple(image.shape[:2])
-        self.input_size = tuple(input_image.shape[:2])
-        padded = pad_to_square(input_image, self.model.img_size)[None]
-        self._cache = self._encode_jit(
-            self.model.params,
-            self.dino_params,
-            jnp.asarray(padded),
-            jnp.asarray(self.input_size, dtype=jnp.int32),
-        )
-        self.features = self._cache["features"]
-        self.dino_feats = self._cache.get("dino_feats")
-        self.is_image_set = True
 
     def set_image_presized(self, image: np.ndarray) -> None:
         """Fast path used by the CrowdSAM pipeline: `image` is already
-        resized (long side == img_size); skips the PIL resize no-op."""
+        resized (long side == img_size); skips the PIL resize no-op.
+
+        The host->device transfer over the axon tunnel costs ~35 ms/MB, so
+        the image is uploaded UNPADDED (rounded up to a 256px bucket to
+        bound the number of compiled encode programs) and the zero pad to
+        the square SAM frame happens on device — the encode already zeroes
+        everything outside input_hw, so this is bit-identical."""
         self.original_size = tuple(image.shape[:2])
         self.input_size = tuple(image.shape[:2])
-        padded = pad_to_square(image, self.model.img_size)[None]
+        s = self.model.img_size
+        hb = min(-(-image.shape[0] // 256) * 256, s)
+        wb = min(-(-image.shape[1] // 256) * 256, s)
+        bucket = np.zeros((hb, wb, 3), dtype=image.dtype)
+        bucket[: image.shape[0], : image.shape[1]] = image
         self._cache = self._encode_jit(
             self.model.params,
             self.dino_params,
-            jnp.asarray(padded),
+            jnp.asarray(bucket[None]),
             jnp.asarray(self.input_size, dtype=jnp.int32),
         )
         self.features = self._cache["features"]
