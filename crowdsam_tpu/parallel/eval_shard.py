@@ -196,7 +196,7 @@ class ShardedPipeline:
             summaries = np.asarray(res["summary"])  # (B, K, 12)
             ns = (summaries[:, :, 0] > 0.5).sum(axis=1).astype(np.int32)
             bucket = int(
-                next(bkt for bkt in (32, 64, 128, 192, 256, cfg.max_keep)
+                next(bkt for bkt in (8, 16, 32, 64, 128, 192, 256, cfg.max_keep)
                      if bkt >= min(int(ns.max(initial=0)) or 1, cfg.max_keep))
             )
             idx_pads = np.zeros((bb, bucket), dtype=np.int32)

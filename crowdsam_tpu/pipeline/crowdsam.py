@@ -412,7 +412,7 @@ class CrowdSAM:
         # every device->host transfer then scale with detections, not the
         # slab, and the whole tail costs two tunnel round trips.
         bucket = next(
-            b for b in (32, 64, 128, 192, 256, cfg.max_keep)
+            b for b in (8, 16, 32, 64, 128, 192, 256, cfg.max_keep)
             if b >= min(n, cfg.max_keep)
         )
         idx_pad = np.zeros(bucket, dtype=np.int32)
@@ -454,8 +454,8 @@ class CrowdSAM:
             if changed[sel].any():
                 full = _apply_lowres_corrections(
                     full,
-                    np.asarray(sp["lowres"])[sel],
-                    np.asarray(gathered > 0)[sel],
+                    np.asarray(sp["removed"])[sel],
+                    np.asarray(sp["filled"])[sel],
                     changed[sel], self.sam.img_size,
                 )
             data["rles"] = rle_ops.encode_masks_coco(full)
@@ -475,22 +475,19 @@ class CrowdSAM:
         return data
 
 
-def _apply_lowres_corrections(full, lowres_after, lowres_before, changed, img_size):
-    """Merge 256^2 small-region edits into full-res masks: regions removed or
-    filled at low res are nearest-upsampled and applied on top of the
-    bilinear-upsampled binarization."""
-    import cv2
-
+def _apply_lowres_corrections(full, removed_packed, filled_packed, changed,
+                              img_size):
+    """Merge 256^2 small-region edits into full-res masks: the device ships
+    bit-packed removed/filled maps; nearest upsampling at an integer scale
+    is exact pixel replication (np.repeat == cv2 INTER_NEAREST here)."""
     out = full.copy()
     h, w = full.shape[1], full.shape[2]
+    r = removed_packed.shape[-2]
+    s = img_size // r
     for i in np.nonzero(changed)[0]:
-        before = lowres_before[i].astype(bool)
-        after = lowres_after[i].astype(bool)
-        removed = cv2.resize(
-            (before & ~after).astype(np.uint8) * 255, (img_size, img_size),
-            interpolation=cv2.INTER_NEAREST)[:h, :w] > 0
-        filled = cv2.resize(
-            (~before & after).astype(np.uint8) * 255, (img_size, img_size),
-            interpolation=cv2.INTER_NEAREST)[:h, :w] > 0
+        removed = np.unpackbits(removed_packed[i], axis=-1).astype(bool)
+        filled = np.unpackbits(filled_packed[i], axis=-1).astype(bool)
+        removed = removed.repeat(s, 0).repeat(s, 1)[:h, :w]
+        filled = filled.repeat(s, 0).repeat(s, 1)[:h, :w]
         out[i] = (full[i] & ~removed) | filled
     return out

@@ -391,6 +391,13 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
     thresh = max(cfg.box_nms_thresh, cfg.crop_nms_thresh)
     s_img = cfg.img_size
 
+    def pack_bits(b):
+        """(..., W) bool -> (..., W//8) uint8, MSB-first (np.unpackbits)."""
+        *lead, wdt = b.shape
+        bits = b.reshape(*lead, wdt // 8, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+        return (bits.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
+
     @jax.jit
     def run(logits, n):
         k = logits.shape[0]
@@ -422,18 +429,17 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
                 ],
                 axis=1,
             ),
-            "lowres": m2 & valid[:, None, None],
+            # Low-res cleanup edits as bit-packed maps (16x smaller transfer
+            # than the bool masks; only fetched when something changed).
+            "removed": pack_bits(binm & ~m2),
+            "filled": pack_bits(~binm & m2 & valid[:, None, None]),
         }
         if with_masks:
             x = jax.image.resize(
                 logits.astype(jnp.float32), (k, s_img, s_img),
                 method="linear", antialias=False,
             )
-            bits = (x > cfg.mask_threshold).reshape(k, s_img, s_img // 8, 8)
-            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
-            out["packed"] = (bits.astype(jnp.uint8) * weights).sum(-1).astype(
-                jnp.uint8
-            )
+            out["packed"] = pack_bits(x > cfg.mask_threshold)
         return out
 
     return run

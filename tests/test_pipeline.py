@@ -137,3 +137,35 @@ def test_generate_many_matches_generate(rng):
             np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-4)
             np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
             assert a["rles"] == b["rles"]
+
+
+def test_survivor_corrections_bitpacked():
+    """Small-region edits ship as bit-packed removed/filled maps; applying
+    them on the host must erase islands / fill holes at full resolution."""
+    import jax.numpy as jnp
+
+    from crowdsam_tpu.pipeline.crowdsam import _apply_lowres_corrections
+    from crowdsam_tpu.pipeline.engine import EngineConfig, make_survivor_pass
+
+    cfg = EngineConfig(img_size=1024, low_res=256, min_mask_region_area=100.0)
+    sp = make_survivor_pass(cfg, with_masks=True)
+
+    logits = np.full((8, 256, 256), -10.0, np.float32)
+    logits[0, 50:150, 50:150] = 10.0    # big blob
+    logits[0, 200:202, 200:202] = 10.0  # 4px island < 6.25 -> removed
+    logits[0, 80:82, 80:82] = -10.0     # 4px hole < 6.25 -> filled
+    out = sp(jnp.asarray(logits), jnp.int32(1))
+
+    summary = np.asarray(out["summary"])
+    assert summary[0, 0] > 0.5   # kept
+    assert summary[0, 1] > 0.5   # changed
+
+    full = np.unpackbits(np.asarray(out["packed"]), axis=-1).astype(bool)
+    assert full[0, 800:808, 800:808].any()  # island present pre-correction
+    fixed = _apply_lowres_corrections(
+        full, np.asarray(out["removed"]), np.asarray(out["filled"]),
+        summary[:, 1] > 0.5, 1024,
+    )
+    assert not fixed[0, 796:812, 796:812].any()   # island erased
+    assert fixed[0, 320:328, 320:328].all()       # hole filled
+    assert fixed[0, 400:500, 300:400].any()       # blob intact

@@ -101,7 +101,7 @@ def main():
     t0 = time.time()
     for i in range(n):
         packed = np.asarray(sp["packed"])
-        lowres = np.asarray(sp["lowres"])
+        removed = np.asarray(sp["removed"])
         spsum = np.asarray(sp["summary"])
     print(f"{'survivor transfers':<36}{(time.time()-t0)/n*1000:>9.1f} ms/call")
 
