@@ -140,3 +140,123 @@ def flash_mha_decomposed_relpos(q, k, v, sm_scale: float, rel_h, rel_w,
     v_pad = jnp.pad(v, ((0, 0),) * 3 + ((0, d_pad - d),)) if d_pad != d else v
     out = flash_mha(q_aug, k_aug, v_pad, sm_scale=1.0)
     return out[..., :d]
+
+
+def window_attention_pallas(qkv, rel_h_tab, rel_w_tab, num_heads: int,
+                            scale: float, window: int,
+                            interpret: bool = False):
+    """Fused windowed attention with decomposed rel-pos bias.
+
+    qkv: (B, Hp, Wp, 3*dim) — the qkv projection of the zero-PADDED
+    normalized input (Hp/Wp multiples of `window`; pad pixels carry the qkv
+    bias exactly as the reference, which pads before the projection —
+    image_encoder.py:243-254).  rel_h_tab/rel_w_tab: (window, window, hd)
+    same-size rel-pos tables.  Returns (B, Hp, Wp, dim).
+
+    The rel-pos bias folds into QK^T by head augmentation (same trick as
+    flash_mha_decomposed_relpos): q' = [q*scale, q@Rh[row], q@Rw[col]],
+    k' = [k, onehot(row), onehot(col)].  Windows pad 196 -> 256 tokens with
+    -inf key masking.  The Pallas kernel then is a pure per-window
+    attention — 2D head slices, dots, masked softmax — whose f32 score
+    tensors never leave VMEM (the dense path materializes ~60 MB of f32
+    scores per layer in HBM).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from crowdsam_tpu.models.image_encoder import (
+        window_partition,
+        window_unpartition,
+    )
+
+    b, hp, wp, c3 = qkv.shape
+    dim = c3 // 3
+    hd = dim // num_heads
+    ws = window
+    n = ws * ws
+    npad = -(-n // 128) * 128
+    dtype = qkv.dtype
+
+    win, _ = window_partition(qkv, ws)              # (nw, ws, ws, 3*dim)
+    nw = win.shape[0]
+    win = win.reshape(nw, n, c3)
+    win = jnp.pad(win, ((0, 0), (0, npad - n), (0, 0)))
+
+    q = win[..., :dim].reshape(nw, npad, num_heads, hd)
+    k = win[..., dim : 2 * dim].reshape(nw, npad, num_heads, hd)
+    v = win[..., 2 * dim :]
+
+    # Head augmentation: per-token rel-pos rows/cols (static numpy indices).
+    rows = np.minimum(np.arange(npad) // ws, ws - 1)
+    cols = np.arange(npad) % ws
+    rhq = rel_h_tab[jnp.asarray(rows)]              # (npad, ws, hd)
+    rwq = rel_w_tab[jnp.asarray(cols)]
+    fh = jnp.einsum("wqhc,qjc->wqhj", q, rhq.astype(dtype))
+    fw = jnp.einsum("wqhc,qjc->wqhj", q, rwq.astype(dtype))
+    ohr = np.zeros((npad, ws), np.float32)
+    ohr[np.arange(n), rows[:n]] = 1.0
+    ohc = np.zeros((npad, ws), np.float32)
+    ohc[np.arange(n), cols[:n]] = 1.0
+
+    aug = hd + 2 * ws
+    augp = -(-aug // 128) * 128
+    q_aug = jnp.concatenate([q * jnp.asarray(scale, dtype), fh, fw], axis=-1)
+    k_aug = jnp.concatenate(
+        [
+            k,
+            jnp.broadcast_to(jnp.asarray(ohr, dtype)[None, :, None, :],
+                             (nw, npad, num_heads, ws)),
+            jnp.broadcast_to(jnp.asarray(ohc, dtype)[None, :, None, :],
+                             (nw, npad, num_heads, ws)),
+        ],
+        axis=-1,
+    )
+    if augp != aug:
+        zpad = ((0, 0), (0, 0), (0, 0), (0, augp - aug))
+        q_aug = jnp.pad(q_aug, zpad)
+        k_aug = jnp.pad(k_aug, zpad)
+    q_aug = q_aug.reshape(nw, npad, num_heads * augp)
+    k_aug = k_aug.reshape(nw, npad, num_heads * augp)
+
+    def kernel(qa_ref, ka_ref, v_ref, out_ref):
+        valid = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1) < n
+        outs = []
+        for h in range(num_heads):
+            qh = qa_ref[0, :, h * augp : (h + 1) * augp]
+            kh = ka_ref[0, :, h * augp : (h + 1) * augp]
+            scores = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (npad, npad)
+            scores = jnp.where(valid, scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)
+            vh = v_ref[0, :, h * hd : (h + 1) * hd]
+            outs.append(
+                jax.lax.dot_general(
+                    probs.astype(vh.dtype), vh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(out_ref.dtype)
+            )
+        out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nw,),
+        in_specs=[
+            pl.BlockSpec((1, npad, num_heads * augp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, num_heads * augp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, npad, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, npad, dim), dtype),
+        interpret=interpret,
+    )(q_aug, k_aug, v)
+
+    out = out[:, :n].reshape(nw, ws, ws, dim)
+    return window_unpartition(out, ws, (hp, wp), (hp, wp))

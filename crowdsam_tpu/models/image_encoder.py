@@ -17,6 +17,7 @@ TPU-native design:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import flax.linen as nn
@@ -68,6 +69,11 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     use_rel_pos: bool = True
     input_size: Tuple[int, int] = (14, 14)
+    # When > 0, `x` arrives UNPARTITIONED (B, H, W, C) and windowed attention
+    # runs as one fused Pallas kernel per window (scores/bias/softmax stay in
+    # VMEM; no partition/unpartition transposes).  Exact same math as the
+    # dense path (tests/test_window_attention.py).
+    fused_window: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -75,6 +81,32 @@ class Attention(nn.Module):
         b, h, w, _ = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
+
+        if self.fused_window > 0:
+            from crowdsam_tpu.models.attention import window_attention_pallas
+
+            ws = self.fused_window
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * ws - 1, head_dim)
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * ws - 1, head_dim)
+            )
+            hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
+            # Pad BEFORE the qkv projection so pad tokens carry the qkv bias,
+            # exactly like the reference's pad-then-project window partition
+            # (image_encoder.py:243-254).
+            x_pad = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            qkv = nn.Dense(
+                self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                name="qkv",
+            )(x_pad)
+            rh = _rel_pos_table(rel_pos_h, ws).astype(self.dtype)
+            rw = _rel_pos_table(rel_pos_w, ws).astype(self.dtype)
+            out = window_attention_pallas(
+                qkv, rh, rw, num_heads=self.num_heads, scale=scale, window=ws
+            )[:, :h, :w]
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         qkv = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
@@ -170,9 +202,17 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from crowdsam_tpu.models.attention import flash_enabled
+
         shortcut = x
         x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
-        if self.window_size > 0:
+        fused_window = (
+            self.window_size > 0
+            and self.use_rel_pos
+            and flash_enabled(self.dtype)
+            and not os.environ.get("CROWDSAM_DISABLE_FUSED_WINDOW")
+        )
+        if self.window_size > 0 and not fused_window:
             h, w = x.shape[1], x.shape[2]
             x, pad_hw = window_partition(x, self.window_size)
         attn_size = (
@@ -186,10 +226,11 @@ class Block(nn.Module):
             qkv_bias=self.qkv_bias,
             use_rel_pos=self.use_rel_pos,
             input_size=attn_size,
+            fused_window=self.window_size if fused_window else 0,
             dtype=self.dtype,
             name="attn",
         )(x)
-        if self.window_size > 0:
+        if self.window_size > 0 and not fused_window:
             x = window_unpartition(x, self.window_size, pad_hw, (h, w))
         x = shortcut + x
         y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
