@@ -57,6 +57,9 @@ def load_rle_codec() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.rle_area.restype = ctypes.c_int64
         lib.rle_area.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.rle_compress_counts.restype = ctypes.c_int64
+        lib.rle_compress_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
         _cached_lib = lib
     except Exception:
         _cached_lib = None

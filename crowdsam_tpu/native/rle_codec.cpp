@@ -110,6 +110,29 @@ int64_t rle_encode_batch(const uint8_t* data, int64_t b, int64_t n,
     return status;
 }
 
+// Compress a ready-made counts array to the COCO string format.  Used by
+// the device-side RLE path, where the TPU ships change indices and the
+// host only turns count diffs into the printable varint string.
+int64_t rle_compress_counts(const int64_t* cnts, int64_t m,
+                            char* out, int64_t out_cap) {
+    int64_t p = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        int64_t x = cnts[i];
+        if (i > 2) x -= cnts[i - 2];
+        bool more = true;
+        while (more) {
+            int64_t c = x & 0x1f;
+            x >>= 5;
+            more = (c & 0x10) ? (x != -1) : (x != 0);
+            if (more) c |= 0x20;
+            c += 48;
+            if (p >= out_cap) return -1;
+            out[p++] = static_cast<char>(c);
+        }
+    }
+    return p;
+}
+
 // Sum of odd-indexed counts = foreground area, from a compressed string.
 int64_t rle_area(const char* s, int64_t slen) {
     int64_t area = 0;

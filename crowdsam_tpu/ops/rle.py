@@ -167,3 +167,37 @@ def encode_masks_coco(masks) -> List[Dict[str, Any]]:
                 for i in range(b)
             ]
     return [coco_encode_rle(r) for r in mask_to_rle(masks)]
+
+
+def encode_changes_coco(changes: np.ndarray, total: int,
+                        size) -> Dict[str, Any]:
+    """Fortran-order change indices -> COCO-compressed RLE dict.
+
+    `changes`: ascending positions (in the column-major flattening of the
+    (h, w) mask) where the value differs from its predecessor (with an
+    implicit 0 before position 0 — COCO counts start with the zero run).
+    `total` = h*w.  Equivalent to `encode_masks_coco` on the dense mask;
+    this is the host half of the device-side RLE extraction (the TPU ships
+    only the change indices, ~KBs instead of the 131 KB full-res bitmap).
+    """
+    h, w = size
+    changes = np.asarray(changes, dtype=np.int64)
+    if changes.size == 0:
+        counts = np.asarray([total], dtype=np.int64)
+    else:
+        counts = np.empty(changes.size + 1, dtype=np.int64)
+        counts[0] = changes[0]
+        counts[1:-1] = np.diff(changes)
+        counts[-1] = total - changes[-1]
+    lib = load_rle_codec()
+    if lib is not None:
+        cap = int(counts.size * 12 + 16)
+        out = np.empty(cap, dtype=np.uint8)
+        ln = lib.rle_compress_counts(
+            counts.ctypes.data, counts.size, out.ctypes.data, cap
+        )
+        if ln >= 0:
+            return {"size": [int(h), int(w)],
+                    "counts": out[:ln].tobytes().decode("utf-8")}
+    return {"size": [int(h), int(w)],
+            "counts": _compress_counts_py([int(c) for c in counts])}

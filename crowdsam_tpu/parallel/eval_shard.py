@@ -116,8 +116,8 @@ class ShardedPipeline:
 
         survivor = make_survivor_pass(cfg, with_masks=model.output_rles)
 
-        def survivor_b(logits, ns):
-            return jax.vmap(survivor)(logits, ns)
+        def survivor_b(logits, ns, in_hws):
+            return jax.vmap(survivor)(logits, ns, in_hws)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -208,6 +208,7 @@ class ShardedPipeline:
             )
             sp = self._survivor_b(
                 gathered, jnp.asarray(np.minimum(ns, bucket)),
+                jnp.asarray(in_hws, jnp.int32),
             )
             sp_summary = np.asarray(sp["summary"])
             packed_all = (

@@ -420,7 +420,10 @@ class CrowdSAM:
         jidx = jnp.asarray(idx_pad)
         gathered = jnp.take(res["logits"], jidx, axis=0)
 
-        sp = self._survivor_pass(gathered, jnp.int32(min(n, bucket)))
+        sp = self._survivor_pass(
+            gathered, jnp.int32(min(n, bucket)),
+            jnp.asarray((in_h, in_w), jnp.int32),
+        )
         sp_summary = np.asarray(sp["summary"])[: min(n, bucket)]
         keep2 = sp_summary[:, 0] > 0.5
         changed = sp_summary[:, 1] > 0.5
@@ -449,20 +452,35 @@ class CrowdSAM:
         )
 
         if self.output_rles:
-            packed = np.asarray(sp["packed"])[sel]
-            full = np.unpackbits(packed, axis=-1)[:, :in_h, :in_w].astype(bool)
-            if changed[sel].any():
-                full = _apply_lowres_corrections(
-                    full,
-                    np.asarray(sp["removed"])[sel],
-                    np.asarray(sp["filled"])[sel],
-                    changed[sel], self.sam.img_size,
-                )
-            data["rles"] = rle_ops.encode_masks_coco(full)
-            # Recompute boxes from the final full-res masks for box fidelity
-            # (the reference computes boxes on full-res masks throughout).
-            fr_boxes = _mask_to_box_np(full)
-            nonempty = fr_boxes.any(axis=1)
+            # Device-side RLE: the survivor pass ships Fortran-order change
+            # indices (~KBs); the host only builds COCO count strings.  The
+            # full-res boxes come corrected from the device too.  Masks with
+            # more changes than the slot budget fall back to the bit-packed
+            # bitmap (rare: noise-like masks).
+            nch = sp_summary[sel, 10].astype(np.int64)
+            svals = np.asarray(sp["rle_svals"])[sel]
+            total = in_h * in_w
+            rles = []
+            overflow = np.nonzero(nch > svals.shape[1])[0]
+            if len(overflow):
+                packed = np.asarray(sp["packed"])[sel[overflow]]
+                full_ov = np.unpackbits(packed, axis=-1)[
+                    :, :in_h, :in_w
+                ].astype(bool)
+                ov_rles = rle_ops.encode_masks_coco(full_ov)
+            ov_map = {int(o): r for o, r in zip(overflow, ov_rles)} if len(
+                overflow
+            ) else {}
+            for i in range(len(sel)):
+                if i in ov_map:
+                    rles.append(ov_map[i])
+                else:
+                    rles.append(rle_ops.encode_changes_coco(
+                        svals[i, : nch[i]], total, (in_h, in_w)
+                    ))
+            data["rles"] = rles
+            fr_boxes = sp_summary[sel, 6:10]
+            nonempty = sp_summary[sel, 11] > 0.5
             boxes_in = np.where(
                 nonempty[:, None], fr_boxes.astype(np.float64), boxes_in
             )
@@ -473,21 +491,3 @@ class CrowdSAM:
         data["crop_boxes"] = np.asarray([crop_box] * len(sel))
         data["fboxes"] = data["boxes"]
         return data
-
-
-def _apply_lowres_corrections(full, removed_packed, filled_packed, changed,
-                              img_size):
-    """Merge 256^2 small-region edits into full-res masks: the device ships
-    bit-packed removed/filled maps; nearest upsampling at an integer scale
-    is exact pixel replication (np.repeat == cv2 INTER_NEAREST here)."""
-    out = full.copy()
-    h, w = full.shape[1], full.shape[2]
-    r = removed_packed.shape[-2]
-    s = img_size // r
-    for i in np.nonzero(changed)[0]:
-        removed = np.unpackbits(removed_packed[i], axis=-1).astype(bool)
-        filled = np.unpackbits(filled_packed[i], axis=-1).astype(bool)
-        removed = removed.repeat(s, 0).repeat(s, 1)[:h, :w]
-        filled = filled.repeat(s, 0).repeat(s, 1)[:h, :w]
-        out[i] = (full[i] & ~removed) | filled
-    return out

@@ -77,6 +77,7 @@ class EngineConfig:
     max_keep: int = 320           # post-NMS survivor slab
     cc_max_iters: int = 192
     fused_decode: bool = True     # hoisted/low-rank decoder (fused_decode.py)
+    max_rle_changes: int = 6144   # device RLE change-index slots per mask
 
     @property
     def max_iters(self) -> int:
@@ -379,17 +380,25 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
 
 
 def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
-    """Fused bucketed survivor program: small-region cleanup + re-NMS (+ the
-    full-res upsample/bit-pack when `with_masks`).
+    """Fused bucketed survivor program: small-region cleanup + re-NMS, and
+    (when `with_masks`) the full-res mask tail entirely on device —
+    bilinear upsample + binarize, low-res cleanup edits applied by exact
+    nearest upsampling, full-res boxes, bit-pack, and Fortran-order RLE
+    change-index extraction over the valid (in_h, in_w) region.
 
-    fn(logits (K,R,R), n) -> dict(summary (K,6) f32 [keep, changed, box*4],
-    lowres (K,R,R) bool, packed (K,S,S//8) uint8?).  One program per bucket
-    size — every tunnel round trip beyond the engine summary is folded in
-    here (each costs ~25-30 ms of latency on the axon relay).
+    fn(logits (K,R,R), n, in_hw (2,) int32) -> dict:
+      summary (K, 12) f32: [keep, changed, lowres_box(4), fullres_box(4),
+                            n_changes, nonempty]
+      packed (K, S, S//8) uint8 — fallback when n_changes > max_rle_changes
+      rle_svals (K, max_rle_changes) int32 — column-major change positions;
+        the host turns them into COCO count strings (~KBs per mask instead
+        of the 131 KB bitmap over the tunnel).
+    One compiled program per bucket size.
     """
     area_lr = cfg.min_mask_region_area * (cfg.low_res / cfg.img_size) ** 2
     thresh = max(cfg.box_nms_thresh, cfg.crop_nms_thresh)
     s_img = cfg.img_size
+    maxc = cfg.max_rle_changes
 
     def pack_bits(b):
         """(..., W) bool -> (..., W//8) uint8, MSB-first (np.unpackbits)."""
@@ -398,8 +407,17 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
         weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
         return (bits.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
 
+    def up4(b, k):
+        """Exact integer-scale nearest upsample (R -> S) of bool maps."""
+        f = s_img // b.shape[-1]
+        x = jnp.broadcast_to(
+            b[:, :, None, :, None],
+            (k, b.shape[1], f, b.shape[2], f),
+        )
+        return x.reshape(k, s_img, s_img)
+
     @jax.jit
-    def run(logits, n):
+    def run(logits, n, in_hw):
         k = logits.shape[0]
         valid = jnp.arange(k) < n
         binm = (logits.astype(jnp.float32) > cfg.mask_threshold) & valid[:, None, None]
@@ -420,26 +438,73 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
             keep = valid
             changed = jnp.zeros((k,), dtype=bool)
 
-        out = {
-            "summary": jnp.concatenate(
-                [
-                    keep[:, None].astype(jnp.float32),
-                    changed[:, None].astype(jnp.float32),
-                    new_boxes,
-                ],
-                axis=1,
-            ),
-            # Low-res cleanup edits as bit-packed maps (16x smaller transfer
-            # than the bool masks; only fetched when something changed).
-            "removed": pack_bits(binm & ~m2),
-            "filled": pack_bits(~binm & m2 & valid[:, None, None]),
-        }
+        out = {}
         if with_masks:
+            in_h, in_w = in_hw[0], in_hw[1]
             x = jax.image.resize(
                 logits.astype(jnp.float32), (k, s_img, s_img),
                 method="linear", antialias=False,
             )
-            out["packed"] = pack_bits(x > cfg.mask_threshold)
+            full = x > cfg.mask_threshold
+            if cfg.min_mask_region_area > 0:
+                # Apply the low-res cleanup edits (same math the host tail
+                # used to do: nearest-upsampled removed/filled maps).
+                full = (full & ~up4(binm & ~m2, k)) | up4(~binm & m2, k)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 1)
+            inside = (ys < in_h) & (xs < in_w)
+            full = full & (inside[None] & valid[:, None, None])
+
+            fr_boxes = batched_mask_to_box(full).astype(jnp.float32)
+            nonempty = jnp.any(full, axis=(1, 2))
+            out["packed"] = pack_bits(full)
+
+            # Fortran-order (column-major) change extraction in the valid
+            # region: transpose, compare against the previous valid element
+            # (previous row in the transposed layout; previous column's last
+            # valid element at column starts).
+            mt = full.transpose(0, 2, 1)               # (k, x, y)
+            last = jnp.take_along_axis(
+                mt, jnp.full((k, s_img, 1), in_h - 1, jnp.int32), axis=2
+            )[..., 0]                                   # (k, x)
+            prev = jnp.pad(mt[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+            col0_prev = jnp.pad(last[:, :-1], ((0, 0), (1, 0)))
+            first_col = jax.lax.broadcasted_iota(
+                jnp.int32, (s_img, s_img), 1
+            ) == 0
+            prev = jnp.where(first_col.T[None], col0_prev[:, :, None], prev)
+            tvalid = (xs.T < in_w)[None] & (ys.T < in_h)[None]
+            change = tvalid & (mt != prev)
+            n_changes = change.sum(axis=(1, 2)).astype(jnp.int32)
+
+            s_map = (
+                jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 0) * in_h
+                + jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 1)
+            ).reshape(-1)
+            starts = jax.vmap(
+                lambda c: jnp.nonzero(c, size=maxc, fill_value=s_img * s_img)[0]
+            )(change.reshape(k, -1))
+            out["rle_svals"] = jnp.where(
+                starts < s_img * s_img,
+                jnp.take(s_map, jnp.minimum(starts, s_img * s_img - 1)),
+                jnp.int32(-1),
+            )
+        else:
+            fr_boxes = jnp.zeros((k, 4), jnp.float32)
+            nonempty = jnp.zeros((k,), bool)
+            n_changes = jnp.zeros((k,), jnp.int32)
+
+        out["summary"] = jnp.concatenate(
+            [
+                keep[:, None].astype(jnp.float32),
+                changed[:, None].astype(jnp.float32),
+                new_boxes,
+                fr_boxes,
+                n_changes[:, None].astype(jnp.float32),
+                nonempty[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
         return out
 
     return run

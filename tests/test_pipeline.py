@@ -139,12 +139,13 @@ def test_generate_many_matches_generate(rng):
             assert a["rles"] == b["rles"]
 
 
-def test_survivor_corrections_bitpacked():
-    """Small-region edits ship as bit-packed removed/filled maps; applying
-    them on the host must erase islands / fill holes at full resolution."""
+def test_survivor_device_tail():
+    """The survivor pass now does the full-res tail on device: corrections
+    (island erased / hole filled), full-res boxes, and RLE change indices
+    that decode to the packed bitmap exactly."""
     import jax.numpy as jnp
 
-    from crowdsam_tpu.pipeline.crowdsam import _apply_lowres_corrections
+    from crowdsam_tpu.ops import rle as rle_ops
     from crowdsam_tpu.pipeline.engine import EngineConfig, make_survivor_pass
 
     cfg = EngineConfig(img_size=1024, low_res=256, min_mask_region_area=100.0)
@@ -154,18 +155,32 @@ def test_survivor_corrections_bitpacked():
     logits[0, 50:150, 50:150] = 10.0    # big blob
     logits[0, 200:202, 200:202] = 10.0  # 4px island < 6.25 -> removed
     logits[0, 80:82, 80:82] = -10.0     # 4px hole < 6.25 -> filled
-    out = sp(jnp.asarray(logits), jnp.int32(1))
+    in_h, in_w = 700, 1024
+    out = sp(jnp.asarray(logits), jnp.int32(1),
+             jnp.asarray((in_h, in_w), jnp.int32))
 
     summary = np.asarray(out["summary"])
     assert summary[0, 0] > 0.5   # kept
     assert summary[0, 1] > 0.5   # changed
+    assert summary[0, 11] > 0.5  # nonempty
 
     full = np.unpackbits(np.asarray(out["packed"]), axis=-1).astype(bool)
-    assert full[0, 800:808, 800:808].any()  # island present pre-correction
-    fixed = _apply_lowres_corrections(
-        full, np.asarray(out["removed"]), np.asarray(out["filled"]),
-        summary[:, 1] > 0.5, 1024,
+    assert not full[0, 796:812, 796:812].any()   # island erased on device
+    assert full[0, 320:328, 320:328].all()       # hole filled on device
+    assert full[0, 400:500, 300:400].any()       # blob intact
+
+    # Device boxes match the packed masks.
+    ys, xs = np.nonzero(full[0])
+    np.testing.assert_array_equal(
+        summary[0, 6:10], [xs.min(), ys.min(), xs.max(), ys.max()]
     )
-    assert not fixed[0, 796:812, 796:812].any()   # island erased
-    assert fixed[0, 320:328, 320:328].all()       # hole filled
-    assert fixed[0, 400:500, 300:400].any()       # blob intact
+
+    # RLE change indices decode to exactly the packed mask (valid region).
+    nch = int(summary[0, 10])
+    assert 0 < nch <= cfg.max_rle_changes
+    svals = np.asarray(out["rle_svals"])[0, :nch]
+    rle = rle_ops.encode_changes_coco(svals, in_h * in_w, (in_h, in_w))
+    dec = rle_ops.coco_decode_rle(rle).astype(bool)
+    np.testing.assert_array_equal(dec, full[0, :in_h, :in_w])
+    # Empty (invalid) rows: no changes.
+    assert (summary[1:, 10] == 0).all()

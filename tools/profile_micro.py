@@ -98,11 +98,11 @@ def main():
         dataclasses.replace(ecfg, min_mask_region_area=0.0), with_masks=True
     )
     bench("survivor full (CC + upsample/pack)",
-          lambda: sp_full(gathered, jnp.int32(1)), lambda o: o["summary"])
+          lambda: sp_full(gathered, jnp.int32(1), jnp.asarray((683,1024), jnp.int32)), lambda o: o["summary"])
     bench("survivor no-masks (CC only)",
-          lambda: sp_nomask(gathered, jnp.int32(1)), lambda o: o["summary"])
+          lambda: sp_nomask(gathered, jnp.int32(1), jnp.asarray((683,1024), jnp.int32)), lambda o: o["summary"])
     bench("survivor no-CC (upsample/pack only)",
-          lambda: sp_nocc(gathered, jnp.int32(1)), lambda o: o["summary"])
+          lambda: sp_nocc(gathered, jnp.int32(1), jnp.asarray((683,1024), jnp.int32)), lambda o: o["summary"])
 
     from crowdsam_tpu.ops.connected import remove_small_regions
     binm = gathered > 0.0

@@ -104,7 +104,7 @@ def main():
         idx_pad = np.zeros(bucket, dtype=np.int32)
         idx_pad[: min(n, bucket)] = idx[:bucket]
         gathered = jnp.take(res["logits"], jnp.asarray(idx_pad), axis=0)
-        sp = model._survivor_pass(gathered, jnp.int32(min(n, bucket)))
+        sp = model._survivor_pass(gathered, jnp.int32(min(n, bucket)), jnp.asarray((in_h, in_w), jnp.int32))
         force_sync(sp["summary"])
         t = mark(f"survivor pass (bucket {bucket})", t)
 

@@ -89,7 +89,7 @@ def main():
     loop("EPS engine", lambda i: engine_once(jax.random.PRNGKey(i)),
          lambda o: o["num_consumed"])
     loop("survivor pass (bucket 32)",
-         lambda i: model._survivor_pass(gathered, jnp.int32(1)),
+         lambda i: model._survivor_pass(gathered, jnp.int32(1), jnp.asarray((in_h, in_w), jnp.int32)),
          lambda o: o["summary"])
 
     # Host tail pieces, timed cold (each includes real transfers).
@@ -97,11 +97,11 @@ def main():
     for i in range(n):
         summary = np.asarray(res["summary"])
     print(f"{'summary transfer':<36}{(time.time()-t0)/n*1000:>9.1f} ms/call")
-    sp = model._survivor_pass(gathered, jnp.int32(1))
+    sp = model._survivor_pass(gathered, jnp.int32(1), jnp.asarray((in_h, in_w), jnp.int32))
     t0 = time.time()
     for i in range(n):
         packed = np.asarray(sp["packed"])
-        removed = np.asarray(sp["removed"])
+        svals = np.asarray(sp["rle_svals"])
         spsum = np.asarray(sp["summary"])
     print(f"{'survivor transfers':<36}{(time.time()-t0)/n*1000:>9.1f} ms/call")
 
