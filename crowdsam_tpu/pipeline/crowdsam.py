@@ -195,9 +195,11 @@ class CrowdSAM:
             fuse_simmap=self.fuse_simmap,
             cc_max_iters=tpucfg.get("cc_max_iters", 192),
             fused_decode=tpucfg.get("fused_decode", True),
+            spec_survivors=tpucfg.get("spec_survivors", 16),
         )
         self.engine = make_eps_engine(
-            sam.prompt_encoder, sam.mask_decoder, self.engine_cfg
+            sam.prompt_encoder, sam.mask_decoder, self.engine_cfg,
+            spec_with_masks=self.output_rles,
         )
         from crowdsam_tpu.pipeline.engine import make_survivor_pass
 
@@ -407,24 +409,38 @@ class CrowdSAM:
             return None
         idx = np.nonzero(keep)[0]
 
-        # Device-side survivor gather into the smallest static bucket >= n:
-        # the fused survivor pass (cleanup + re-NMS + upsample/bit-pack) and
-        # every device->host transfer then scale with detections, not the
-        # slab, and the whole tail costs two tunnel round trips.
-        bucket = next(
-            b for b in (8, 16, 32, 64, 128, 192, 256, cfg.max_keep)
-            if b >= min(n, cfg.max_keep)
-        )
-        idx_pad = np.zeros(bucket, dtype=np.int32)
-        idx_pad[: min(n, bucket)] = idx[:bucket]
-        jidx = jnp.asarray(idx_pad)
-        gathered = jnp.take(res["logits"], jidx, axis=0)
+        # Fast path: the engine already ran the survivor tail speculatively
+        # on the top spec_survivors detections (they sort first), so no
+        # second dispatch + device wait is needed when the count fits.
+        spec = cfg.spec_survivors
+        if (
+            "spec_summary" in res
+            and n <= spec
+            and np.array_equal(idx, np.arange(n))
+        ):
+            sp = {
+                "summary": res["spec_summary"],
+                "rle_svals": res.get("spec_svals"),
+                "packed": res.get("spec_packed"),
+            }
+            sp_summary = np.asarray(sp["summary"])[:n]
+        else:
+            # Device-side survivor gather into the smallest static bucket
+            # >= n; transfers scale with detections, not the slab.
+            bucket = next(
+                b for b in (8, 16, 32, 64, 128, 192, 256, cfg.max_keep)
+                if b >= min(n, cfg.max_keep)
+            )
+            idx_pad = np.zeros(bucket, dtype=np.int32)
+            idx_pad[: min(n, bucket)] = idx[:bucket]
+            jidx = jnp.asarray(idx_pad)
+            gathered = jnp.take(res["logits"], jidx, axis=0)
 
-        sp = self._survivor_pass(
-            gathered, jnp.int32(min(n, bucket)),
-            jnp.asarray((in_h, in_w), jnp.int32),
-        )
-        sp_summary = np.asarray(sp["summary"])[: min(n, bucket)]
+            sp = self._survivor_pass(
+                gathered, jnp.int32(min(n, bucket)),
+                jnp.asarray((in_h, in_w), jnp.int32),
+            )
+            sp_summary = np.asarray(sp["summary"])[: min(n, bucket)]
         keep2 = sp_summary[:, 0] > 0.5
         changed = sp_summary[:, 1] > 0.5
         sel = np.nonzero(keep2)[0]

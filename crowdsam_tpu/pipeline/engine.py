@@ -78,6 +78,7 @@ class EngineConfig:
     cc_max_iters: int = 192
     fused_decode: bool = True     # hoisted/low-rank decoder (fused_decode.py)
     max_rle_changes: int = 6144   # device RLE change-index slots per mask
+    spec_survivors: int = 16      # speculative in-engine survivor tail size
 
     @property
     def max_iters(self) -> int:
@@ -103,8 +104,16 @@ def _select_mask(cfg: EngineConfig, masks, iou_fused):
     raise NotImplementedError(cfg.mask_selection)
 
 
-def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
+def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
+                    spec_with_masks=None):
     """Build the jitted single-image decode engine.
+
+    `spec_with_masks` (None | bool): when not None, the survivor tail for
+    the top `cfg.spec_survivors` detections runs INSIDE the engine program
+    (speculatively — valid whenever the detection count fits), so the host
+    tail needs zero extra dispatch round trips for typical images; the bool
+    selects whether the full-res mask/RLE outputs are produced (the
+    pipeline's output_rles).
 
     Returns fn(params, features, dense_pe, dino_feats_proj, sim_map,
                feat_hw, input_hw, crop_box, orig_hw, downscale, key)
@@ -352,6 +361,22 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
         else:
             out["scores"] = out["iou"]
 
+        # Speculative survivor tail on the top detections (they sort first
+        # in `top`): when the image's detection count fits, the host needs
+        # no second dispatch + wait at all.
+        if spec_with_masks is not None and cfg.spec_survivors > 0:
+            core = _survivor_core(cfg, with_masks=spec_with_masks)
+            n_keep = jnp.sum(keep_nms).astype(jnp.int32)
+            spec = core(
+                out["logits"][: cfg.spec_survivors],
+                jnp.minimum(n_keep, cfg.spec_survivors),
+                input_hw.astype(jnp.int32),
+            )
+            out["spec_summary"] = spec["summary"]
+            if spec_with_masks:
+                out["spec_svals"] = spec["rle_svals"]
+                out["spec_packed"] = spec["packed"]
+
         # Pack per-detection scalars into one array so the host needs a
         # single small transfer: [valid, iou, score, category, stability,
         # num_consumed, box(4), point(2)].
@@ -379,22 +404,10 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig):
     return jitted
 
 
-def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
-    """Fused bucketed survivor program: small-region cleanup + re-NMS, and
-    (when `with_masks`) the full-res mask tail entirely on device —
-    bilinear upsample + binarize, low-res cleanup edits applied by exact
-    nearest upsampling, full-res boxes, bit-pack, and Fortran-order RLE
-    change-index extraction over the valid (in_h, in_w) region.
-
-    fn(logits (K,R,R), n, in_hw (2,) int32) -> dict:
-      summary (K, 12) f32: [keep, changed, lowres_box(4), fullres_box(4),
-                            n_changes, nonempty]
-      packed (K, S, S//8) uint8 — fallback when n_changes > max_rle_changes
-      rle_svals (K, max_rle_changes) int32 — column-major change positions;
-        the host turns them into COCO count strings (~KBs per mask instead
-        of the 131 KB bitmap over the tunnel).
-    One compiled program per bucket size.
-    """
+def _survivor_core(cfg: EngineConfig, with_masks: bool):
+    """Shared survivor-tail body; see `make_survivor_pass` for the contract.
+    Used both as a standalone bucketed jit and fused into the EPS engine
+    for the speculative top-`spec_survivors` path."""
     area_lr = cfg.min_mask_region_area * (cfg.low_res / cfg.img_size) ** 2
     thresh = max(cfg.box_nms_thresh, cfg.crop_nms_thresh)
     s_img = cfg.img_size
@@ -416,7 +429,6 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
         )
         return x.reshape(k, s_img, s_img)
 
-    @jax.jit
     def run(logits, n, in_hw):
         k = logits.shape[0]
         valid = jnp.arange(k) < n
@@ -508,6 +520,23 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
         return out
 
     return run
+
+
+def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
+    """Fused bucketed survivor program: small-region cleanup + re-NMS, and
+    (when `with_masks`) the full-res mask tail entirely on device —
+    bilinear upsample + binarize, low-res cleanup edits applied by exact
+    nearest upsampling, full-res boxes, bit-pack, and Fortran-order RLE
+    change-index extraction over the valid (in_h, in_w) region.
+
+    fn(logits (K,R,R), n, in_hw (2,) int32) -> dict:
+      summary (K, 12) f32: [keep, changed, lowres_box(4), fullres_box(4),
+                            n_changes, nonempty]
+      packed (K, S, S//8) uint8 — fallback when n_changes > max_rle_changes
+      rle_svals (K, max_rle_changes) int32 — column-major change positions.
+    One compiled program per bucket size.
+    """
+    return jax.jit(_survivor_core(cfg, with_masks))
 
 
 def make_small_region_pass(cfg: EngineConfig):
