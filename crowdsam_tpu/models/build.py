@@ -29,6 +29,7 @@ def _build_sam(
     seed: int = 0,
     image_size: int = 1024,
     dino_dim: int = 1024,
+    hq: bool = False,
 ) -> Sam:
     prompt_embed_dim = 256
     vit_patch_size = 16
@@ -55,15 +56,29 @@ def _build_sam(
         mask_in_chans=16,
         dtype=dtype,
     )
-    mask_decoder = MaskDecoder(
-        transformer_dim=prompt_embed_dim,
-        num_multimask_outputs=3,
-        iou_head_depth=3,
-        iou_head_hidden_dim=256,
-        n_class=n_class,
-        dino_dim=dino_dim,
-        dtype=dtype,
-    )
+    if hq:
+        from crowdsam_tpu.models.mask_decoder_hq import MaskDecoderHQ
+
+        mask_decoder = MaskDecoderHQ(
+            transformer_dim=prompt_embed_dim,
+            num_multimask_outputs=3,
+            iou_head_depth=3,
+            iou_head_hidden_dim=256,
+            n_class=n_class,
+            vit_dim=encoder_embed_dim,
+            dino_dim=dino_dim,
+            dtype=dtype,
+        )
+    else:
+        mask_decoder = MaskDecoder(
+            transformer_dim=prompt_embed_dim,
+            num_multimask_outputs=3,
+            iou_head_depth=3,
+            iou_head_hidden_dim=256,
+            n_class=n_class,
+            dino_dim=dino_dim,
+            dtype=dtype,
+        )
 
     if checkpoint is not None:
         from crowdsam_tpu.utils.checkpoint import load_sam_checkpoint
@@ -72,10 +87,12 @@ def _build_sam(
             checkpoint,
             encoder_depth=encoder_depth,
             n_class=n_class,
+            hq=hq,
         )
     else:
         params = init_sam_params(
-            image_encoder, prompt_encoder, mask_decoder, seed=seed
+            image_encoder, prompt_encoder, mask_decoder, seed=seed, hq=hq,
+            dino_dim=dino_dim,
         )
 
     return Sam(
@@ -86,7 +103,8 @@ def _build_sam(
     )
 
 
-def init_sam_params(image_encoder, prompt_encoder, mask_decoder, seed: int = 0):
+def init_sam_params(image_encoder, prompt_encoder, mask_decoder, seed: int = 0,
+                    hq: bool = False, dino_dim: int = 1024):
     """Random-init parameter pytree with the same structure the checkpoint
     converter produces (shape-only via eval_shape, so ViT-L is instant)."""
     from crowdsam_tpu.utils.init import fast_random_init
@@ -98,6 +116,19 @@ def init_sam_params(image_encoder, prompt_encoder, mask_decoder, seed: int = 0):
     pts = (jnp.zeros((1, 1, 2), jnp.float32), jnp.ones((1, 1), jnp.int32))
     pe = fast_random_init(prompt_encoder, seed=seed + 1, points=pts)
     h = image_encoder.img_size // image_encoder.patch_size
+    if hq:
+        dec = fast_random_init(
+            mask_decoder,
+            jnp.zeros((1, h, h, 256), jnp.float32),
+            jnp.zeros((h, h, 256), jnp.float32),
+            jnp.zeros((1, 2, 256), jnp.float32),
+            jnp.zeros((1, h, h, 256), jnp.float32),
+            jnp.zeros((4 * h, 4 * h, dino_dim), jnp.float32),
+            jnp.zeros((1, h, h, image_encoder.embed_dim), jnp.float32),
+            seed=seed + 2,
+            method=mask_decoder.init_all,
+        )
+        return {"image_encoder": enc, "prompt_encoder": pe, "mask_decoder": dec}
     dec = fast_random_init(
         mask_decoder,
         jnp.zeros((1, h, h, 256), jnp.float32),
@@ -141,6 +172,66 @@ def build_sam_vit_tiny(checkpoint=None, n_class: int = 1, **kw) -> Sam:
     return _build_sam(64, 2, 2, (1,), n_class, checkpoint, **kw)
 
 
+def build_sam_vit_t(
+    checkpoint=None,
+    n_class: int = 1,
+    dtype: Any = jnp.bfloat16,
+    seed: int = 0,
+    image_size: int = 1024,
+    dino_dim: int = 1024,
+    hq: bool = False,
+) -> Sam:
+    """MobileSAM: TinyViT-5M encoder + standard SAM prompt/mask stages
+    (reference `build_sam.py:47-93` — an arch the reference configures but
+    cannot run: `TinyViT` is never imported there and lives in the external
+    `mobile_sam` package; here it is first-party, models/tiny_vit.py).
+
+    Deviation (documented): the reference vit_t uses the vanilla MaskDecoder
+    and its mobile_sam arch path strict-loads the PWD adapter into it
+    (crowdsam/model.py:107 — crashes on real adapters); we use the PWD-Net
+    decoder so the full CrowdSAM pipeline works with this encoder too."""
+    del hq  # no HQ variant of the TinyViT arch
+    from crowdsam_tpu.models.tiny_vit import TinyViT
+
+    prompt_embed_dim = 256
+    image_embedding_size = image_size // 16
+    image_encoder = TinyViT(img_size=image_size, dtype=dtype)
+    prompt_encoder = PromptEncoder(
+        embed_dim=prompt_embed_dim,
+        image_embedding_size=(image_embedding_size, image_embedding_size),
+        input_image_size=(image_size, image_size),
+        mask_in_chans=16,
+        dtype=dtype,
+    )
+    mask_decoder = MaskDecoder(
+        transformer_dim=prompt_embed_dim,
+        num_multimask_outputs=3,
+        iou_head_depth=3,
+        iou_head_hidden_dim=256,
+        n_class=n_class,
+        dino_dim=dino_dim,
+        dtype=dtype,
+    )
+    if checkpoint is not None:
+        from crowdsam_tpu.utils.checkpoint import load_sam_checkpoint
+
+        params = load_sam_checkpoint(
+            checkpoint, encoder_depth=image_encoder.depth,
+            n_class=n_class, tiny=True,
+        )
+    else:
+        params = init_sam_params(
+            image_encoder, prompt_encoder, mask_decoder, seed=seed,
+            dino_dim=dino_dim,
+        )
+    return Sam(
+        image_encoder=image_encoder,
+        prompt_encoder=prompt_encoder,
+        mask_decoder=mask_decoder,
+        params=params,
+    )
+
+
 build_sam = build_sam_vit_h
 
 sam_model_registry = {
@@ -148,5 +239,6 @@ sam_model_registry = {
     "vit_h": build_sam_vit_h,
     "vit_l": build_sam_vit_l,
     "vit_b": build_sam_vit_b,
+    "vit_t": build_sam_vit_t,
     "vit_tiny": build_sam_vit_tiny,
 }

@@ -265,7 +265,12 @@ class ImageEncoderViT(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_interm: bool = False):
+        """When `return_interm` is set, also returns the output of the first
+        global-attention block — the early ViT feature the HQ-SAM decoder
+        fuses (reference `modeling/mask_decoder_hq.py:129,188` uses
+        `interm_embeddings[0]`, the first entry of the global-block outputs
+        collected by the HQ image encoder)."""
         grid = self.img_size // self.patch_size
         x = nn.Conv(
             self.embed_dim,
@@ -281,6 +286,8 @@ class ImageEncoderViT(nn.Module):
             )
             x = x + pos_embed.astype(x.dtype)
 
+        interm = None
+        first_global = min(self.global_attn_indexes) if self.global_attn_indexes else -1
         for i in range(self.depth):
             x = Block(
                 dim=self.embed_dim,
@@ -293,6 +300,8 @@ class ImageEncoderViT(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)
+            if return_interm and i == first_global:
+                interm = x
 
         x = nn.Conv(
             self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck_0"
@@ -307,4 +316,6 @@ class ImageEncoderViT(nn.Module):
             name="neck_2",
         )(x)
         x = ChannelLayerNorm(dtype=self.dtype, name="neck_3")(x)
+        if return_interm:
+            return x, interm
         return x

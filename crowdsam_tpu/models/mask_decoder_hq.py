@@ -110,6 +110,38 @@ class MaskDecoderHQ(nn.Module):
             dtype=self.dtype, name="point_classifier",
         )
 
+    def project_dino(self, dino_feats: jnp.ndarray) -> jnp.ndarray:
+        """Same hoisted projection surface as the base decoder (the
+        predict_fg_map path, reference predictor.py:113-121)."""
+        return self.dino_proj(dino_feats)
+
+    def classify_points(self, feats: jnp.ndarray, deterministic: bool = True):
+        del deterministic  # plain MLP heads in the HQ variant (no dropout)
+        return self.point_classifier(feats)
+
+    def init_all(
+        self,
+        image_embeddings: jnp.ndarray,
+        image_pe: jnp.ndarray,
+        sparse_prompt_embeddings: jnp.ndarray,
+        dense_prompt_embeddings: jnp.ndarray,
+        dino_feats_256: jnp.ndarray,
+        interm_embeddings: jnp.ndarray,
+        multimask_output: bool = True,
+    ):
+        """Init-only entry that exercises every submodule (the HQ fusion
+        stacks are otherwise reached only through `compute_hq_features`)."""
+        hq = self.compute_hq_features(image_embeddings, interm_embeddings)
+        return self(
+            image_embeddings,
+            image_pe,
+            sparse_prompt_embeddings,
+            dense_prompt_embeddings,
+            multimask_output,
+            hq_features=hq,
+            dino_feats_256=dino_feats_256,
+        )
+
     def compute_hq_features(
         self, image_embeddings: jnp.ndarray, interm_embeddings: jnp.ndarray
     ) -> jnp.ndarray:

@@ -81,6 +81,18 @@ class CrowdSAM:
         self.sam_arch = mcfg.get("sam_arch", "crowdsam")
 
         # ---- SAM (reference model.py:88-115) ----
+        # Arch registry: 'crowdsam' (PWD-Net decoder), 'sam_hq' (HQ decoder,
+        # sam_model carries an 'hq' prefix that is stripped, model.py:99),
+        # 'mobile_sam' (TinyViT encoder, 'mobile' prefix, model.py:105), or
+        # vanilla 'sam'.  The reference delegates sam_hq/mobile_sam to
+        # external pip packages; here all arches are first-party.
+        sam_model_name = mcfg.get("sam_model", "vit_l")
+        hq = self.sam_arch == "sam_hq"
+        if hq and not sam_model_name.startswith("vit"):
+            sam_model_name = sam_model_name[2:].lstrip("_")
+        if self.sam_arch == "mobile_sam":
+            if not sam_model_name.startswith("vit"):
+                sam_model_name = sam_model_name[6:].lstrip("_")
         sam_ckpt = mcfg.get("sam_checkpoint")
         sam_ckpt = sam_ckpt if sam_ckpt and os.path.exists(sam_ckpt) else None
         if mcfg.get("sam_checkpoint") and sam_ckpt is None:
@@ -90,10 +102,14 @@ class CrowdSAM:
             )
         dino_dims = {"dinov2_vitl14": 1024, "dinov2_vitb14": 768,
                      "dinov2_vits14": 384}
-        sam = sam_model_registry[mcfg.get("sam_model", "vit_l")](
+        build_kw = dict(
             checkpoint=None, n_class=self.n_class, dtype=dtype,
             dino_dim=dino_dims.get(mcfg.get("dino_model", "dinov2_vitl14"), 1024),
+            hq=hq,
         )
+        if mcfg.get("image_size"):  # optional; the reference hardcodes 1024
+            build_kw["image_size"] = int(mcfg["image_size"])
+        sam = sam_model_registry[sam_model_name](**build_kw)
         if sam_ckpt is not None:
             from crowdsam_tpu.utils.checkpoint import load_sam_checkpoint, overlay
 
@@ -101,7 +117,8 @@ class CrowdSAM:
                 sam.params,
                 load_sam_checkpoint(
                     sam_ckpt, encoder_depth=sam.image_encoder.depth,
-                    n_class=self.n_class,
+                    n_class=self.n_class, hq=hq,
+                    tiny=(sam_model_name == "vit_t"),
                 ),
             )
         adapter = mcfg.get("sam_adapter_checkpoint")
@@ -109,7 +126,8 @@ class CrowdSAM:
             from crowdsam_tpu.utils.checkpoint import load_adapter_checkpoint, overlay
 
             sam.params = overlay(
-                sam.params, {"mask_decoder": load_adapter_checkpoint(adapter)}
+                sam.params,
+                {"mask_decoder": load_adapter_checkpoint(adapter, hq=hq)},
             )
         elif adapter and self.sam_arch != "sam":
             self.logger.warning("adapter checkpoint %s not found", adapter)
@@ -368,10 +386,18 @@ class CrowdSAM:
             feat_hw = (g, g)
 
         self._key, sub = jax.random.split(self._key)
-        dino_proj = self.predictor.dino_proj_256
-        if dino_proj is None:
-            r = cfg.low_res
-            dino_proj = jnp.zeros((r, r, 256))
+        if self.predictor.is_hq:
+            # HQ decode inputs: hoisted per-image HQ feature fusion + the
+            # raw 256^2 DINO map (pool-then-project PWD order).
+            dino_proj = {
+                "hq_features": self.predictor._cache["hq_features"],
+                "dino_raw": self.predictor._cache["dino_raw_256"],
+            }
+        else:
+            dino_proj = self.predictor.dino_proj_256
+            if dino_proj is None:
+                r = cfg.low_res
+                dino_proj = jnp.zeros((r, r, 256))
         res = self.engine(
             self.sam.params,
             self.predictor.get_image_embedding(),

@@ -136,6 +136,14 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
     num_heads = mask_decoder.transformer_num_heads
     dec_dtype = mask_decoder.dtype
     n_class = mask_decoder.n_class
+    from crowdsam_tpu.models.mask_decoder_hq import MaskDecoderHQ
+
+    # The sam_hq arch decodes through MaskDecoderHQ (HQ token + fusion
+    # stacks); it takes the generic spatial-mask path — `dino_feats_proj`
+    # then carries a dict {hq_features, dino_raw} instead of the projected
+    # map (the HQ decoder pools raw DINO and projects afterwards).
+    is_hq = isinstance(mask_decoder, MaskDecoderHQ)
+    fused = cfg.fused_decode and not is_hq
     # In the fused path the whole loop works on packed masks (ops.packed):
     # no depth-to-space transposes, 5x faster mask head (see fused_decode).
     BH = R // 4  # packed base grid (== decoder feature resolution)
@@ -147,7 +155,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
 
         # Per-image shared decoder tensors, hoisted out of the while loop
         # (block-1 image projections, PE-side terms, fused wide kernels).
-        if cfg.fused_decode:
+        if fused:
             dec_shared = precompute_decode_shared(
                 params["mask_decoder"],
                 params["prompt_encoder"]["no_mask_embed"],
@@ -186,7 +194,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
         occ_px = jnp.clip(
             (px.astype(jnp.float32) * lr_scale).astype(jnp.int32), 0, R - 1
         )
-        if cfg.fused_decode:
+        if fused:
             # The occupy bitmap lives in packed-flat order in the fused path.
             occ_idx = packed_flat_index(occ_py, occ_px, BH)
         else:
@@ -201,7 +209,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
         # ------------------------------------------------------------------
         # Slabs
         # ------------------------------------------------------------------
-        logit_shape = (SLAB, BH * BH, 16) if cfg.fused_decode else (SLAB, R, R)
+        logit_shape = (SLAB, BH * BH, 16) if fused else (SLAB, R, R)
         state = dict(
             it=jnp.int32(0),
             consumed=jnp.int32(0),
@@ -237,13 +245,24 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
                 {"params": params["prompt_encoder"]},
                 points=(tcoords[:, None, :], jnp.ones((K, 1), jnp.int32)),
             )
-            if cfg.fused_decode:
+            if fused:
                 masks, iou_pred, cls_scores = fused_decode(
                     params["mask_decoder"], dec_shared, sparse, True,
                     dino_feats_proj=dino_packed,
                     num_heads=num_heads, dtype=dec_dtype, n_class=n_class,
                     packed_masks=True,
                 )  # masks: (K, 4, BH*BH, 16) packed
+            elif is_hq:
+                masks, iou_pred, cls_scores = mask_decoder.apply(
+                    {"params": params["mask_decoder"]},
+                    features,
+                    dense_pe,
+                    sparse,
+                    dense,
+                    True,
+                    hq_features=dino_feats_proj["hq_features"],
+                    dino_feats_256=dino_feats_proj["dino_raw"],
+                )  # (K,3,R,R), (K,3), (K,3,n_class) — HQ multimask slice
             else:
                 masks, iou_pred, cls_scores = mask_decoder.apply(
                     {"params": params["mask_decoder"]},
@@ -276,7 +295,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
                 keep &= stab >= cfg.stability_score_thresh
 
             binm = m_sel > cfg.mask_threshold
-            if cfg.fused_decode:
+            if fused:
                 boxes_lr = packed_mask_to_box(
                     binm, xmap, ymap, BH, BH
                 ).astype(jnp.float32)
@@ -326,7 +345,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
         score_key = jnp.where(keep_nms, s["iou"], -jnp.inf)
         top = jnp.argsort(-score_key)[: cfg.max_keep]
         top_logits = s["logits"][top]
-        if cfg.fused_decode:
+        if fused:
             top_logits = unpack_spatial(top_logits, BH, BH)
         out = {
             "logits": top_logits,

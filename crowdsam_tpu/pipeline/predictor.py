@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from crowdsam_tpu.models.mask_decoder_hq import MaskDecoderHQ
 from crowdsam_tpu.models.sam import PIXEL_MEAN, PIXEL_STD, Sam, postprocess_masks
 from crowdsam_tpu.ops.transforms import ResizeLongestSide
 
@@ -35,6 +36,7 @@ class SamPredictor:
         self.model = sam_model
         self.dino_model = dino_model
         self.dino_params = dino_params
+        self.is_hq = isinstance(sam_model.mask_decoder, MaskDecoderHQ)
         self.transform = ResizeLongestSide(sam_model.img_size)
         # Derived static resolutions: decoder mask res = img/4 (256 for SAM's
         # 1024), DINOv2 grid = img//14 (73), DINO input = grid*14 (1022).
@@ -67,9 +69,18 @@ class SamPredictor:
         if (hb, wb) != (s, s):
             x = jnp.pad(x, ((0, 0), (0, s - hb), (0, s - wb), (0, 0)))
 
-        features = self.model.image_encoder.apply(
-            {"params": params["image_encoder"]}, x
-        )  # (1, 64, 64, 256)
+        interm = None
+        if self.is_hq:
+            # HQ-SAM fuses the first global block's output (early ViT
+            # feature) into its high-quality mask feature map; compute the
+            # per-image fusion here, hoisted out of the per-prompt decode.
+            features, interm = self.model.image_encoder.apply(
+                {"params": params["image_encoder"]}, x, return_interm=True
+            )
+        else:
+            features = self.model.image_encoder.apply(
+                {"params": params["image_encoder"]}, x
+            )  # (1, 64, 64, 256)
 
         dense_pe = self.model.prompt_encoder.apply(
             {"params": params["prompt_encoder"]},
@@ -77,6 +88,13 @@ class SamPredictor:
         )  # (64, 64, 256)
 
         out = {"features": features, "dense_pe": dense_pe}
+        if self.is_hq:
+            out["hq_features"] = self.model.mask_decoder.apply(
+                {"params": params["mask_decoder"]},
+                features,
+                interm,
+                method=self.model.mask_decoder.compute_hq_features,
+            )  # (1, 4h, 4w, C/8)
         if self.dino_model is not None:
             # DINOv2 on the SAM-normalized padded frame resized to 1022^2
             # (predictor.py:104-106).
@@ -88,17 +106,27 @@ class SamPredictor:
             g = self.dino_grid
             dino_feats = dres["x_norm_patchtokens"].reshape(1, g, g, -1)
             out["dino_feats"] = dino_feats
-            # Hoisted PWD-Net projection at 73^2 and 256^2.
-            proj = self.model.mask_decoder.apply(
-                {"params": params["mask_decoder"]},
-                dino_feats,
-                method=self.model.mask_decoder.project_dino,
-            )  # (1, 73, 73, 256)
             r = self.low_res
-            # bf16: this map is re-read by every decode batch's PWD pooling.
-            out["dino_proj_256"] = jax.image.resize(
-                proj[0], (r, r, proj.shape[-1]), "linear", antialias=False
-            ).astype(jnp.bfloat16)
+            if self.is_hq:
+                # The HQ decoder pools the RAW dino map under the mask
+                # softmax and projects afterwards (mask_decoder_hq.py
+                # :208-213) — cache the raw 256^2 resize instead.
+                out["dino_raw_256"] = jax.image.resize(
+                    dino_feats[0], (r, r, dino_feats.shape[-1]),
+                    "linear", antialias=False,
+                ).astype(jnp.bfloat16)
+            else:
+                # Hoisted PWD-Net projection at 73^2 and 256^2.
+                proj = self.model.mask_decoder.apply(
+                    {"params": params["mask_decoder"]},
+                    dino_feats,
+                    method=self.model.mask_decoder.project_dino,
+                )  # (1, 73, 73, 256)
+                # bf16: this map is re-read by every decode batch's PWD
+                # pooling.
+                out["dino_proj_256"] = jax.image.resize(
+                    proj[0], (r, r, proj.shape[-1]), "linear", antialias=False
+                ).astype(jnp.bfloat16)
         return out
 
     def set_image(self, image: np.ndarray, image_format: str = "RGB") -> None:
@@ -202,7 +230,7 @@ class SamPredictor:
         params,
         features,
         dense_pe,
-        dino_proj_256,
+        extras,
         point_coords,
         point_labels,
         boxes,
@@ -220,6 +248,17 @@ class SamPredictor:
             masks=mask_input,
         )
         del with_pad  # pad is implied by boxes-None inside the encoder
+        if self.is_hq:
+            return self.model.mask_decoder.apply(
+                {"params": params["mask_decoder"]},
+                features,
+                dense_pe,
+                sparse,
+                dense,
+                multimask_output,
+                hq_features=extras["hq_features"],
+                dino_feats_256=extras["dino_raw_256"],
+            )
         return self.model.mask_decoder.apply(
             {"params": params["mask_decoder"]},
             features,
@@ -227,7 +266,7 @@ class SamPredictor:
             sparse,
             dense,
             multimask_output,
-            dino_feats_proj=dino_proj_256,
+            dino_feats_proj=extras["dino_proj_256"],
         )
 
     def predict_batch(
@@ -246,11 +285,18 @@ class SamPredictor:
         original_size when return_full_masks else None.
         """
         assert self.is_image_set
+        if self.is_hq:
+            extras = {
+                "hq_features": self._cache["hq_features"],
+                "dino_raw_256": self._cache["dino_raw_256"],
+            }
+        else:
+            extras = {"dino_proj_256": self._cache.get("dino_proj_256")}
         low_res, iou, cls = self._decode_jit(
             self.model.params,
             self._cache["features"],
             self._cache["dense_pe"],
-            self._cache.get("dino_proj_256"),
+            extras,
             point_coords,
             point_labels,
             boxes,

@@ -74,6 +74,26 @@ def _ln(sd, key):
     return {"weight": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
 
 
+def _conv_bn(sd, key, eps: float = 1e-5):
+    """torch Conv2d_BN (conv w/o bias + BatchNorm2d) -> folded biased conv.
+
+    Inference-only fold: w' = w * gamma/sqrt(var+eps), b' = beta - mean *
+    gamma/sqrt(var+eps).  Exact for eval-mode BN."""
+    w = sd[f"{key}.c.weight"]
+    g = sd[f"{key}.bn.weight"]
+    b = sd[f"{key}.bn.bias"]
+    m = sd[f"{key}.bn.running_mean"]
+    v = sd[f"{key}.bn.running_var"]
+    scale = g / np.sqrt(v + eps)
+    kernel = np.ascontiguousarray(
+        (w * scale[:, None, None, None]).transpose(2, 3, 1, 0)
+    )
+    return {
+        "kernel": kernel.astype(np.float32),
+        "bias": (b - m * scale).astype(np.float32),
+    }
+
+
 # ---------------------------------------------------------------------------
 # SAM component converters
 # ---------------------------------------------------------------------------
@@ -98,6 +118,52 @@ def convert_image_encoder(sd: Dict[str, np.ndarray], depth: int) -> Dict[str, An
                 "lin1": _lin(sd, f"{b}.mlp.lin1"),
                 "lin2": _lin(sd, f"{b}.mlp.lin2"),
             },
+        }
+    p["neck_0"] = {"kernel": sd["neck.0.weight"].transpose(2, 3, 1, 0)}
+    p["neck_1"] = _ln(sd, "neck.1")
+    p["neck_2"] = {"kernel": sd["neck.2.weight"].transpose(2, 3, 1, 0)}
+    p["neck_3"] = _ln(sd, "neck.3")
+    return p
+
+
+def convert_tiny_vit(
+    sd: Dict[str, np.ndarray], depths=(2, 2, 6, 2)
+) -> Dict[str, Any]:
+    """MobileSAM TinyViT state dict -> models/tiny_vit.py params.
+
+    All Conv2d_BN pairs fold into biased convs (`_conv_bn`); the
+    `attention_biases` compact tables copy verbatim (the static offset
+    index map is rebuilt identically in the module); the buffer
+    `attention_bias_idxs` is ignored.  Key layout follows the public
+    mobile_sam `TinyViT` (patch_embed.seq.{0,2}, layers.N.blocks.M,
+    layers.N.downsample, neck.{0..3})."""
+    p: Dict[str, Any] = {}
+    p["patch_embed_0"] = _conv_bn(sd, "patch_embed.seq.0")
+    p["patch_embed_2"] = _conv_bn(sd, "patch_embed.seq.2")
+    for i in range(depths[0]):
+        b = f"layers.0.blocks.{i}"
+        p[f"layers_0_blocks_{i}"] = {
+            c: _conv_bn(sd, f"{b}.{c}") for c in ("conv1", "conv2", "conv3")
+        }
+    for s in range(1, len(depths)):
+        for i in range(depths[s]):
+            b = f"layers.{s}.blocks.{i}"
+            p[f"layers_{s}_blocks_{i}"] = {
+                "attn": {
+                    "norm": _ln(sd, f"{b}.attn.norm"),
+                    "qkv": _lin(sd, f"{b}.attn.qkv"),
+                    "proj": _lin(sd, f"{b}.attn.proj"),
+                    "attention_biases": sd[f"{b}.attn.attention_biases"],
+                },
+                "local_conv": _conv_bn(sd, f"{b}.local_conv"),
+                "mlp_norm": _ln(sd, f"{b}.mlp.norm"),
+                "fc1": _lin(sd, f"{b}.mlp.fc1"),
+                "fc2": _lin(sd, f"{b}.mlp.fc2"),
+            }
+    for s in range(len(depths) - 1):
+        d = f"layers.{s}.downsample"
+        p[f"layers_{s}_downsample"] = {
+            c: _conv_bn(sd, f"{d}.{c}") for c in ("conv1", "conv2", "conv3")
         }
     p["neck_0"] = {"kernel": sd["neck.0.weight"].transpose(2, 3, 1, 0)}
     p["neck_1"] = _ln(sd, "neck.1")
@@ -272,31 +338,42 @@ def overlay(base: Dict[str, Any], update: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def load_sam_checkpoint(
-    path: str, encoder_depth: int, n_class: int = 1
+    path: str, encoder_depth: int, n_class: int = 1, hq: bool = False,
+    tiny: bool = False,
 ) -> Dict[str, Any]:
     """Full SAM .pth -> {'image_encoder','prompt_encoder','mask_decoder'}.
 
     PWD-Net heads absent from the base checkpoint stay at their converted-or-
     random values exactly like reference strict=False loading; callers that
     need them initialized must overlay onto an init tree via `overlay`.
+    `hq` selects the MaskDecoderHQ converter (sam_hq arch); `tiny` selects
+    the TinyViT encoder converter (mobile_sam / vit_t arch).
     """
     sd = load_torch_state_dict(path)
+    conv_dec = convert_mask_decoder_hq if hq else convert_mask_decoder
+    enc_sd = _strip_prefix(sd, "image_encoder.")
+    enc = (
+        convert_tiny_vit(enc_sd)
+        if tiny
+        else convert_image_encoder(enc_sd, encoder_depth)
+    )
     return {
-        "image_encoder": convert_image_encoder(
-            _strip_prefix(sd, "image_encoder."), encoder_depth
-        ),
+        "image_encoder": enc,
         "prompt_encoder": convert_prompt_encoder(_strip_prefix(sd, "prompt_encoder.")),
-        "mask_decoder": convert_mask_decoder(_strip_prefix(sd, "mask_decoder.")),
+        "mask_decoder": conv_dec(_strip_prefix(sd, "mask_decoder.")),
     }
 
 
-def load_adapter_checkpoint(path: str) -> Dict[str, Any]:
+def load_adapter_checkpoint(path: str, hq: bool = False) -> Dict[str, Any]:
     """Adapter .pth (bare mask_decoder state dict) or native msgpack ->
-    partial mask_decoder tree."""
+    partial mask_decoder tree.  `hq` converts with the HQ decoder layout
+    (the reference loads the same adapter strict=False into either arch,
+    crowdsam/model.py:93,101)."""
     if path.endswith((".msgpack", ".flax")):
         with open(path, "rb") as f:
             return serialization.msgpack_restore(f.read())
-    return convert_mask_decoder(load_torch_state_dict(path))
+    conv = convert_mask_decoder_hq if hq else convert_mask_decoder
+    return conv(load_torch_state_dict(path))
 
 
 # ---------------------------------------------------------------------------
