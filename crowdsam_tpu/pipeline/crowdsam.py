@@ -214,6 +214,7 @@ class CrowdSAM:
             cc_max_iters=tpucfg.get("cc_max_iters", 192),
             fused_decode=tpucfg.get("fused_decode", True),
             spec_survivors=tpucfg.get("spec_survivors", 16),
+            fullres_cleanup=tpucfg.get("fullres_cleanup", False),
         )
         self.engine = make_eps_engine(
             sam.prompt_encoder, sam.mask_decoder, self.engine_cfg,

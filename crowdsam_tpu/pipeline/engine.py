@@ -79,6 +79,12 @@ class EngineConfig:
     fused_decode: bool = True     # hoisted/low-rank decoder (fused_decode.py)
     max_rle_changes: int = 6144   # device RLE change-index slots per mask
     spec_survivors: int = 16      # speculative in-engine survivor tail size
+    # Exact-parity mode: run hole/island cleanup on the FULL-RES upsampled
+    # masks with the unscaled area threshold (the reference's cv2-at-image-
+    # resolution semantics, model.py:394-443) instead of the fast 256^2
+    # cleanup + edit upsampling.  Costs an exact connected-components pass
+    # at img_size^2 per survivor bucket; requires output_rles (full masks).
+    fullres_cleanup: bool = False
 
     @property
     def max_iters(self) -> int:
@@ -382,8 +388,11 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
 
         # Speculative survivor tail on the top detections (they sort first
         # in `top`): when the image's detection count fits, the host needs
-        # no second dispatch + wait at all.
-        if spec_with_masks is not None and cfg.spec_survivors > 0:
+        # no second dispatch + wait at all.  Disabled in fullres_cleanup
+        # mode (an exact image-resolution CC pass inside the engine program
+        # would tax every image; the bucketed host pass pays it only once).
+        if (spec_with_masks is not None and cfg.spec_survivors > 0
+                and not cfg.fullres_cleanup):
             core = _survivor_core(cfg, with_masks=spec_with_masks)
             n_keep = jnp.sum(keep_nms).astype(jnp.int32)
             spec = core(
@@ -423,6 +432,12 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
     return jitted
 
 
+# Per-column change-position slots for the gather-based RLE extraction in
+# `_survivor_core` (a clean object boundary crosses a pixel column a few
+# times; columns exceeding this fall back to the packed-bitmap path).
+_COL_SLOTS = 8
+
+
 def _survivor_core(cfg: EngineConfig, with_masks: bool):
     """Shared survivor-tail body; see `make_survivor_pass` for the contract.
     Used both as a standalone bucketed jit and fused into the EPS engine
@@ -451,8 +466,16 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
     def run(logits, n, in_hw):
         k = logits.shape[0]
         valid = jnp.arange(k) < n
+        fullres = (
+            cfg.fullres_cleanup and with_masks and cfg.min_mask_region_area > 0
+        )
         binm = (logits.astype(jnp.float32) > cfg.mask_threshold) & valid[:, None, None]
-        if cfg.min_mask_region_area > 0:
+        if fullres:
+            # Exact reference semantics (model.py:394-443): cleanup on the
+            # upsampled image-resolution masks with the UNSCALED threshold.
+            # keep/changed/boxes come from the full-res block below.
+            m2 = binm
+        elif cfg.min_mask_region_area > 0:
             m1, ch1 = remove_small_regions(
                 binm, area_lr, "holes", max_iters=cfg.cc_max_iters
             )
@@ -477,14 +500,35 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
                 method="linear", antialias=False,
             )
             full = x > cfg.mask_threshold
-            if cfg.min_mask_region_area > 0:
-                # Apply the low-res cleanup edits (same math the host tail
-                # used to do: nearest-upsampled removed/filled maps).
-                full = (full & ~up4(binm & ~m2, k)) | up4(~binm & m2, k)
             ys = jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 0)
             xs = jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 1)
             inside = (ys < in_h) & (xs < in_w)
-            full = full & (inside[None] & valid[:, None, None])
+            if fullres:
+                full = full & (inside[None] & valid[:, None, None])
+                f1, ch1 = remove_small_regions(
+                    full, cfg.min_mask_region_area, "holes",
+                    max_iters=cfg.cc_max_iters,
+                )
+                f2, ch2 = remove_small_regions(
+                    f1, cfg.min_mask_region_area, "islands",
+                    max_iters=cfg.cc_max_iters,
+                )
+                unchanged = ~(ch1 | ch2)
+                full = f2
+                fr_for_nms = batched_mask_to_box(full).astype(jnp.float32)
+                # The host reads summary[2:6] as low-res-frame boxes for
+                # changed masks; IoU (hence NMS) is scale-invariant.
+                new_boxes = fr_for_nms * (cfg.low_res / s_img)
+                keep = nms_mask(
+                    fr_for_nms, unchanged.astype(jnp.float32), thresh, valid
+                )
+                changed = (~unchanged) & valid
+            elif cfg.min_mask_region_area > 0:
+                # Apply the low-res cleanup edits (same math the host tail
+                # used to do: nearest-upsampled removed/filled maps).
+                full = (full & ~up4(binm & ~m2, k)) | up4(~binm & m2, k)
+            if not fullres:
+                full = full & (inside[None] & valid[:, None, None])
 
             fr_boxes = batched_mask_to_box(full).astype(jnp.float32)
             nonempty = jnp.any(full, axis=(1, 2))
@@ -506,19 +550,49 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
             prev = jnp.where(first_col.T[None], col0_prev[:, :, None], prev)
             tvalid = (xs.T < in_w)[None] & (ys.T < in_h)[None]
             change = tvalid & (mt != prev)
-            n_changes = change.sum(axis=(1, 2)).astype(jnp.int32)
 
-            s_map = (
-                jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 0) * in_h
-                + jax.lax.broadcasted_iota(jnp.int32, (s_img, s_img), 1)
-            ).reshape(-1)
-            starts = jax.vmap(
-                lambda c: jnp.nonzero(c, size=maxc, fill_value=s_img * s_img)[0]
-            )(change.reshape(k, -1))
+            # Gather-only compaction of change positions (a vmapped
+            # jnp.nonzero here lowers to a 1M-element scatter per mask —
+            # the survivor tail's former hot spot).  Two-level scheme:
+            # per-column counts + exclusive prefix map each output slot j
+            # to its column via a vectorized searchsorted; the row within
+            # the column comes from per-slot candidates (argmax over
+            # csum == s+1).  A column with more than `_COL_SLOTS` changes
+            # (noise-like masks; a clean object boundary crosses a column
+            # a handful of times) reports maxc+1 changes, routing that mask
+            # to the packed-bitmap fallback the host already handles.
+            csum = jnp.cumsum(change.astype(jnp.int32), axis=2)  # (k, x, y)
+            n_col = csum[:, :, -1]                               # (k, x)
+            S = _COL_SLOTS
+            cand = jnp.stack(
+                [
+                    jnp.argmax(change & (csum == s + 1), axis=2).astype(
+                        jnp.int32
+                    )
+                    for s in range(S)
+                ],
+                axis=2,
+            )                                                    # (k, x, S)
+            incl = jnp.cumsum(n_col, axis=1)                     # (k, x)
+            excl = incl - n_col
+            j = jnp.arange(maxc, dtype=jnp.int32)
+            col = jax.vmap(
+                lambda inc: jnp.searchsorted(inc, j, side="right")
+            )(incl).astype(jnp.int32)                            # (k, maxc)
+            col_c = jnp.minimum(col, s_img - 1)
+            slot = j[None] - jnp.take_along_axis(excl, col_c, axis=1)
+            slot_c = jnp.clip(slot, 0, S - 1)
+            row = jnp.take_along_axis(
+                cand.reshape(k, -1), col_c * S + slot_c, axis=1
+            )
+            total = incl[:, -1]
+            overflow_cols = jnp.any(n_col > S, axis=1)
+            n_changes = jnp.where(
+                overflow_cols, jnp.int32(maxc + 1), total
+            ).astype(jnp.int32)
+            pos_ok = j[None] < jnp.minimum(total, maxc)[:, None]
             out["rle_svals"] = jnp.where(
-                starts < s_img * s_img,
-                jnp.take(s_map, jnp.minimum(starts, s_img * s_img - 1)),
-                jnp.int32(-1),
+                pos_ok, col_c * in_h + row, jnp.int32(-1)
             )
         else:
             fr_boxes = jnp.zeros((k, 4), jnp.float32)
