@@ -393,13 +393,42 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
         # would tax every image; the bucketed host pass pays it only once).
         if (spec_with_masks is not None and cfg.spec_survivors > 0
                 and not cfg.fullres_cleanup):
+            # Tiered + conditional: the tail's cost scales with its static
+            # slot count (~2 ms/slot full-res work), so sparse images take
+            # a small top-4 tier, mid images the full tier, and crowded
+            # images (n > spec_survivors, where the host runs the bucketed
+            # pass anyway) skip the tail entirely via lax.cond.
             core = _survivor_core(cfg, with_masks=spec_with_masks)
             n_keep = jnp.sum(keep_nms).astype(jnp.int32)
-            spec = core(
-                out["logits"][: cfg.spec_survivors],
-                jnp.minimum(n_keep, cfg.spec_survivors),
-                input_hw.astype(jnp.int32),
+            in_hw_i = input_hw.astype(jnp.int32)
+            spec_n = cfg.spec_survivors
+
+            def tail(slots):
+                def f():
+                    r = core(
+                        out["logits"][:slots],
+                        jnp.minimum(n_keep, slots),
+                        in_hw_i,
+                    )
+                    return jax.tree.map(
+                        lambda a: jnp.pad(
+                            a, ((0, spec_n - slots),) + ((0, 0),) * (a.ndim - 1)
+                        ),
+                        r,
+                    )
+                return f
+
+            full_fn = tail(spec_n)
+            shapes = jax.eval_shape(full_fn)
+            zeros_fn = lambda: jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes
             )
+            inner = (
+                full_fn
+                if spec_n <= 4
+                else (lambda: jax.lax.cond(n_keep <= 4, tail(4), full_fn))
+            )
+            spec = jax.lax.cond(n_keep <= spec_n, inner, zeros_fn)
             out["spec_summary"] = spec["summary"]
             if spec_with_masks:
                 out["spec_svals"] = spec["rle_svals"]

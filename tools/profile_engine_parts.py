@@ -73,10 +73,16 @@ def main():
 
     @jax.jit
     def scan_decode_fused(params, emb, pe, dino_proj, coords):
+        # PACKED path — what the engine actually runs (engine.py:240-246).
+        from crowdsam_tpu.ops.packed import pack_spatial
+
         shared = precompute_decode_shared(
             params["mask_decoder"], params["prompt_encoder"]["no_mask_embed"],
             emb, pe, num_heads=8, dtype=dec_dtype,
         )
+        dino_packed = pack_spatial(
+            jnp.moveaxis(dino_proj, -1, 0)
+        ).reshape(dino_proj.shape[-1], -1).T
 
         def body(carry, c):
             sparse, _ = model.sam.prompt_encoder.apply(
@@ -85,8 +91,8 @@ def main():
             )
             masks, iou, cls = fused_decode(
                 params["mask_decoder"], shared, sparse, True,
-                dino_feats_proj=dino_proj, num_heads=8, dtype=dec_dtype,
-                n_class=1,
+                dino_feats_proj=dino_packed, num_heads=8, dtype=dec_dtype,
+                n_class=1, packed_masks=True,
             )
             return carry + iou.sum() + masks.mean() + cls.sum(), None
 
