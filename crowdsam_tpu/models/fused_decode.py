@@ -166,6 +166,15 @@ def precompute_decode_shared(
         "bv2": l1t2i["v_proj"]["bias"].astype(dtype),
         "bvf": fin["v_proj"]["bias"].astype(dtype),
     }
+    from crowdsam_tpu.models.mask_head_kernel import (
+        build_mask_head_weights,
+        mask_head_kernel_enabled,
+    )
+
+    if mask_head_kernel_enabled(dtype):
+        # Weight layout for the fused Pallas mask head (built once per
+        # image, outside the decode loop).
+        shared["mask_head"] = build_mask_head_weights(dec_params, dtype)
     return shared
 
 
@@ -293,7 +302,17 @@ def fused_decode(
         axis=1,
     )
 
-    if packed_masks:
+    if packed_masks and "mask_head" in shared:
+        # Fused Pallas mask head: the whole upscale chain stays in VMEM
+        # (reads keys2 once, writes packed masks once — see
+        # models/mask_head_kernel.py).
+        from crowdsam_tpu.models.mask_head_kernel import mask_head_pallas
+
+        masks = mask_head_pallas(
+            keys2, hyper_in, shared["mask_head"], num_masks=num_mask_tokens
+        )                                             # (P, K, m, 16) bf16
+        hh = ww = None
+    elif packed_masks:
         # Transpose-free packed layout (ops.packed): the conv-transpose
         # depth-to-space stays folded into the channel axis.
         m = h * w
