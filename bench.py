@@ -56,7 +56,7 @@ def main():
     model = CrowdSAM(cfg)
 
     batch = int(os.environ.get("BENCH_BATCH", "0"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     if batch > 1:
         # Batched/sharded throughput mode (images amortize dispatch +
         # tunnel-round-trip overhead; the multi-chip eval path).

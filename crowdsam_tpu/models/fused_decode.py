@@ -175,6 +175,13 @@ def precompute_decode_shared(
         # Weight layout for the fused Pallas mask head (built once per
         # image, outside the decode loop).
         shared["mask_head"] = build_mask_head_weights(dec_params, dtype)
+    from crowdsam_tpu.models.decode_tail_kernel import (
+        build_tail_params,
+        tail_kernel_enabled,
+    )
+
+    if tail_kernel_enabled(dtype):
+        shared["tail"] = build_tail_params(dec_params, shared, dtype)
     return shared
 
 
@@ -253,6 +260,21 @@ def fused_decode(
         l1["norm1"],
     dtype)
 
+    if "tail" in shared:
+        # Fused Pallas tail: block-2 cross attentions + MLP + image->token
+        # update + final attention, per prompt in VMEM
+        # (models/decode_tail_kernel.py).
+        from crowdsam_tpu.models.decode_tail_kernel import twoway_tail_pallas
+
+        keys2, queries = twoway_tail_pallas(
+            keys1, queries, query_pe, shared["tail"], num_heads=num_heads
+        )
+        return _decode_heads(
+            dec_params, shared, queries, keys2, dino_feats_proj,
+            multimask_output, num_mask_tokens, p_cnt, h, w, c,
+            dtype, n_class, packed_masks,
+        )
+
     cdown = shared["kpe2"].shape[-1]
     kvq = _matmul(keys1, shared["wide2"], dtype)  # (P, M, 3c)
     k2h = _heads(kvq[..., :cdown] + shared["kpe2"], num_heads)
@@ -288,6 +310,18 @@ def fused_decode(
     out = _dense(_merge(out), fin["out_proj"], dtype)
     queries = _ln(queries + out, t["norm_final_attn"], dtype)
 
+    return _decode_heads(
+        dec_params, shared, queries, keys2, dino_feats_proj,
+        multimask_output, num_mask_tokens, p_cnt, h, w, c,
+        dtype, n_class, packed_masks,
+    )
+
+
+def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
+                  multimask_output, num_mask_tokens, p_cnt, h, w, c,
+                  dtype, n_class, packed_masks):
+    """Post-transformer heads: hypernetwork masks + iou/cls (shared by the
+    XLA tail and the Pallas tail-kernel path)."""
     hs = queries
     iou_token_out = hs[:, 0, :]
     mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens, :]
