@@ -42,6 +42,9 @@ _PARAM_NAMES = (
     "mlp1_w", "mlp1_b", "mlp2_w", "mlp2_b",
     "i2t_k_w", "i2t_k_b", "i2t_v_w", "i2t_v_b", "i2t_o_w", "i2t_o_b",
     "fin_q_w", "fin_q_b", "fin_o_w", "fin_o_b",
+    # block-1 image->token update (keys0 -> keys1 stays in VMEM)
+    "i2t1_k_w", "i2t1_k_b", "i2t1_v_w", "i2t1_v_b", "i2t1_o_w", "i2t1_o_b",
+    "n4l0_w", "n4l0_b",
 )
 
 
@@ -60,6 +63,7 @@ def build_tail_params(dec_params, shared, dtype):
     """Kernel parameter dict from decoder params + the precomputed shared
     PE-side tensors (see fused_decode.precompute_decode_shared)."""
     t = dec_params["transformer"]
+    l0 = t["layers_0"]
     l1 = t["layers_1"]
     fin = t["final_attn_token_to_image"]
     bf = dtype
@@ -104,10 +108,19 @@ def build_tail_params(dec_params, shared, dtype):
         "fin_q_b": b(fin["q_proj"]),
         "fin_o_w": w(fin["out_proj"]),
         "fin_o_b": b(fin["out_proj"]),
+        "i2t1_k_w": w(l0["cross_attn_image_to_token"]["k_proj"]),
+        "i2t1_k_b": b(l0["cross_attn_image_to_token"]["k_proj"]),
+        "i2t1_v_w": w(l0["cross_attn_image_to_token"]["v_proj"]),
+        "i2t1_v_b": b(l0["cross_attn_image_to_token"]["v_proj"]),
+        "i2t1_o_w": w(l0["cross_attn_image_to_token"]["out_proj"]),
+        "i2t1_o_b": b(l0["cross_attn_image_to_token"]["out_proj"]),
+        "n4l0_w": l0["norm4"]["weight"].astype(jnp.float32),
+        "n4l0_b": l0["norm4"]["bias"].astype(jnp.float32),
     }
 
 
-def _kernel(keys_ref, q_ref, pe_ref, *refs, num_heads: int, eps: float):
+def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
+            num_heads: int, eps: float):
     out_keys_ref, out_q_ref = refs[-2], refs[-1]
     P = {n: r for n, r in zip(_PARAM_NAMES, refs[: len(_PARAM_NAMES)])}
     f32 = jnp.float32
@@ -144,9 +157,11 @@ def _kernel(keys_ref, q_ref, pe_ref, *refs, num_heads: int, eps: float):
         y = (xb - u) * jax.lax.rsqrt(s + eps)
         return rnd(y * P[wn][...] + P[bn][...])
 
-    keys1 = keys_ref[0]                               # (M, C) bf16
-    m = keys1.shape[0]
-    queries = q_ref[0].astype(f32)                    # (T, C)
+    keys0 = keys0_ref[0]                              # (M, C) bf16, shared
+    q1i = q1i_ref[0]                                  # (M, 128) bf16, shared
+    m = keys0.shape[0]
+    qb1 = qb1_ref[0].astype(f32)                      # (T, C) block-1 state
+    queries = q_ref[0].astype(f32)                    # (T, C) block-2 state
     pe = pe_ref[0].astype(f32)
     tcnt = queries.shape[0]
 
@@ -178,6 +193,40 @@ def _kernel(keys_ref, q_ref, pe_ref, *refs, num_heads: int, eps: float):
         out = fold_rows(out)                          # (T, 128)
         return rnd(dot(rnd(out), P[own][...]) + P[obn][...])
 
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (ht, num_heads), 0) // tcnt
+        == jax.lax.broadcasted_iota(jnp.int32, (ht, num_heads), 1)
+    ).astype(f32)                                     # (H*T, H)
+
+    def image_update(keys_prev, q_img, tok_state, pfx, nwn, nbn):
+        """Image->token cross attention + residual + LN: keys_prev ->
+        keys_next, entirely in VMEM.  Per-(m, h) softmax over tokens uses
+        the global row max (identical result) + indicator-matmul segment
+        sums; the out-projection folds onto the stacked token values."""
+        k_tok = dense(tok_state + pe, f"{pfx}_k_w", f"{pfx}_k_b")
+        v_tok = dense(tok_state, f"{pfx}_v_w", f"{pfx}_v_b")
+        k_stack = stack_rows(k_tok.astype(bf))        # (H*T, 128)
+        s = dot_t(q_img, k_stack) * scale             # (M, H*T)
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - smax)
+        denom = jax.lax.dot_general(
+            e, seg, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )                                             # (M, H)
+        denom_b = jax.lax.dot_general(
+            denom, seg.T, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )                                             # (M, H*T)
+        p_att = e / denom_b
+        u_stack = rnd(dot(stack_rows(v_tok.astype(bf)), P[f"{pfx}_o_w"][...]))
+        delta = dot(p_att, u_stack.astype(bf))        # (M, 256)
+        return ln(
+            keys_prev.astype(f32) + rnd(delta) + P[f"{pfx}_o_b"][...],
+            nwn, nbn,
+        )
+
+    # ---- block 1: image -> token update (keys0 -> keys1, VMEM-only) ----
+    keys1 = image_update(keys0, q1i, qb1, "i2t1", "n4l0_w", "n4l0_b")
+    keys1 = keys1.astype(bf)
+
     # ---- block 2: token -> image attention ----
     kvq = dot(keys1, P["wide2"][...])                 # (M, 3*128) f32
     k2 = rnd_bf(kvq[:, :cdown] + P["kpe2"][...].astype(f32))
@@ -195,33 +244,7 @@ def _kernel(keys_ref, q_ref, pe_ref, *refs, num_heads: int, eps: float):
     queries = ln(queries + mlp, "n3_w", "n3_b")
 
     # ---- block 2: image -> token update ----
-    # Scores for all heads in one dot: S[m, (h,t)] = q2i[m] . k_stack[(h,t)]
-    # (the head mask lives on the K side).  Per-(m, h) softmax over t uses
-    # the global row max (mathematically identical to per-segment max) and
-    # segment sums via indicator matmuls.
-    k_tok = dense(queries + pe, "i2t_k_w", "i2t_k_b")  # (T, 128)
-    v_tok = dense(queries, "i2t_v_w", "i2t_v_b")
-    k_stack = stack_rows(k_tok.astype(bf))            # (H*T, 128)
-    s = dot_t(q2i, k_stack) * scale                   # (M, H*T)
-    smax = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - smax)                             # (M, H*T)
-    seg = (
-        jax.lax.broadcasted_iota(jnp.int32, (ht, num_heads), 0) // tcnt
-        == jax.lax.broadcasted_iota(jnp.int32, (ht, num_heads), 1)
-    ).astype(f32)                                     # (H*T, H)
-    denom = jax.lax.dot_general(
-        e, seg, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    )                                                 # (M, H)
-    denom_b = jax.lax.dot_general(
-        denom, seg.T, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    )                                                 # (M, H*T)
-    p_att = e / denom_b
-    # u[(h,t)] = (v_tok[t] masked to head h) @ W_out — one dot.
-    u_stack = rnd(dot(stack_rows(v_tok.astype(bf)), P["i2t_o_w"][...]))
-    delta = dot(p_att, u_stack.astype(bf))            # (M, 256)
-    keys2 = ln(
-        keys1.astype(f32) + rnd(delta) + P["i2t_o_b"][...], "n4_w", "n4_b"
-    )                                                 # (M, 256)
+    keys2 = image_update(keys1, q2i, queries, "i2t", "n4_w", "n4_b")
 
     # ---- final token -> image attention ----
     kvf = dot(keys2, P["widef"][...])
@@ -239,20 +262,26 @@ def _kernel(keys_ref, q_ref, pe_ref, *refs, num_heads: int, eps: float):
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "interpret")
 )
-def twoway_tail_pallas(keys1, queries, query_pe, params, num_heads: int = 8,
-                       interpret: bool = False):
-    """keys1 (P, M, C), queries/query_pe (P, T, C) -> (keys2 (P, M, C) bf16,
-    queries_final (P, T, C) bf16).  `queries` is the block-2 token state
-    after self-attention + norm1 (fused_decode computes that in XLA)."""
+def twoway_tail_pallas(keys0, q1i, queries_b1, queries, query_pe, params,
+                       num_heads: int = 8, interpret: bool = False):
+    """keys0 (M, C) + q1i (M, 128) shared per image; queries_b1 / queries /
+    query_pe (P, T, C) per prompt -> (keys2 (P, M, C) bf16, queries_final
+    (P, T, C) bf16).  `queries_b1` is the block-1 token state after its
+    MLP+norm3; `queries` is the block-2 state after self-attention + norm1
+    (both computed batched in XLA)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, m, c = keys1.shape
-    t = queries.shape[1]
+    p, t, c = queries.shape
+    m = keys0.shape[0]
 
     kern = functools.partial(_kernel, num_heads=num_heads, eps=1e-5)
     in_specs = [
-        pl.BlockSpec((1, m, c), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, m, c), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m, q1i.shape[-1]), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -260,7 +289,9 @@ def twoway_tail_pallas(keys1, queries, query_pe, params, num_heads: int = 8,
                      memory_space=pltpu.VMEM),
     ]
     operands = [
-        keys1.astype(jnp.bfloat16),
+        keys0.astype(jnp.bfloat16)[None],
+        q1i.astype(jnp.bfloat16)[None],
+        queries_b1.astype(jnp.bfloat16),
         queries.astype(jnp.bfloat16),
         query_pe.astype(jnp.bfloat16),
     ]

@@ -182,6 +182,9 @@ def precompute_decode_shared(
 
     if tail_kernel_enabled(dtype):
         shared["tail"] = build_tail_params(dec_params, shared, dtype)
+        # Lane-major block-1 image-side q for the kernel's in-VMEM
+        # keys0 -> keys1 update (q1ih above is the _heads layout).
+        shared["q1i_flat"] = _dense(keys0 + pe, l0i2t["q_proj"], dtype)
     return shared
 
 
@@ -244,12 +247,15 @@ def fused_decode(
     queries = _ln(queries + out, l0["norm2"], dtype)
     queries = _ln(queries + _mlp_block(l0["mlp"], queries, dtype),
                   l0["norm3"], dtype)
+    queries_b1 = queries
 
-    keys1 = _image_to_token_update(
-        l0["cross_attn_image_to_token"], shared["keys0"][None], shared["q1ih"],
-        queries, query_pe, num_heads, dtype,
-    )
-    keys1 = _ln(keys1, l0["norm4"], dtype)
+    use_tail = "tail" in shared
+    if not use_tail:
+        keys1 = _image_to_token_update(
+            l0["cross_attn_image_to_token"], shared["keys0"][None],
+            shared["q1ih"], queries, query_pe, num_heads, dtype,
+        )
+        keys1 = _ln(keys1, l0["norm4"], dtype)
 
     # ---------------- block 2 ------------------------------------------------
     l1 = t["layers_1"]
@@ -260,14 +266,16 @@ def fused_decode(
         l1["norm1"],
     dtype)
 
-    if "tail" in shared:
-        # Fused Pallas tail: block-2 cross attentions + MLP + image->token
-        # update + final attention, per prompt in VMEM
+    if use_tail:
+        # Fused Pallas tail: block-1 image->token update, block-2 cross
+        # attentions + MLP + image->token update, and the final attention —
+        # per prompt in VMEM; keys1/keys2 intermediates never touch HBM
         # (models/decode_tail_kernel.py).
         from crowdsam_tpu.models.decode_tail_kernel import twoway_tail_pallas
 
         keys2, queries = twoway_tail_pallas(
-            keys1, queries, query_pe, shared["tail"], num_heads=num_heads
+            shared["keys0"], shared["q1i_flat"], queries_b1, queries,
+            query_pe, shared["tail"], num_heads=num_heads,
         )
         return _decode_heads(
             dec_params, shared, queries, keys2, dino_feats_proj,
