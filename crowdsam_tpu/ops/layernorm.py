@@ -61,10 +61,11 @@ def fused_layer_norm(x, weight, bias, eps: float = 1e-6):
     unsuitable (D not lane-aligned) or the backend is not TPU."""
     import os
 
-    # A/B on the bench chip (full SAM ViT-L encode): Pallas LN 124.2 ms vs
-    # the bf16 jnp fallback 117.1 ms — Mosaic kernel launches cost more than
-    # the fused-elementwise XLA path saves here, so this kernel is opt-in.
-    if not os.environ.get("CROWDSAM_ENABLE_PALLAS_LN"):
+    # Default ON: with the flash/window attention kernels in place, the
+    # full-encoder A/B flipped — SAM ViT-L encode 66.1 ms (jnp LN) vs
+    # 48.6 ms (Pallas LN).  The original opt-in verdict (124.2 vs 117.1)
+    # predates those kernels.  CROWDSAM_DISABLE_PALLAS_LN opts out.
+    if os.environ.get("CROWDSAM_DISABLE_PALLAS_LN"):
         return None
     d = x.shape[-1]
     if d % 128 != 0:
@@ -78,6 +79,10 @@ def fused_layer_norm(x, weight, bias, eps: float = 1e-6):
     n = 1
     for s in lead:
         n *= s
+    if n < 1024:
+        # Tiny tensors (e.g. the decoder's per-token LNs inside the EPS
+        # loop): a Mosaic launch costs more than the fusion saves.
+        return None
     block = 256 if n >= 256 else max(16, -(-n // 16) * 16)
     out = layer_norm_2d(x.reshape(n, d), weight, bias, eps=eps,
                         block_rows=block)

@@ -33,10 +33,14 @@ def test_layer_norm_2d_interpret(rng, monkeypatch):
 
 
 def test_fused_layer_norm_gating(monkeypatch):
-    # Disabled by default (opt-in via env); unaligned widths always fall back.
-    monkeypatch.delenv("CROWDSAM_ENABLE_PALLAS_LN", raising=False)
+    # Enabled by default (opt-out via env); unaligned widths and non-TPU
+    # backends always fall back (these tests run on CPU -> None).
+    monkeypatch.delenv("CROWDSAM_DISABLE_PALLAS_LN", raising=False)
     out = lnk.fused_layer_norm(jnp.ones((4, 128)), jnp.ones(128), jnp.zeros(128))
-    assert out is None
-    monkeypatch.setenv("CROWDSAM_ENABLE_PALLAS_LN", "1")
+    assert out is None  # CPU backend
+    monkeypatch.setenv("CROWDSAM_DISABLE_PALLAS_LN", "1")
+    out = lnk.fused_layer_norm(jnp.ones((4, 128)), jnp.ones(128), jnp.zeros(128))
+    assert out is None  # explicit opt-out
+    monkeypatch.delenv("CROWDSAM_DISABLE_PALLAS_LN", raising=False)
     out = lnk.fused_layer_norm(jnp.ones((4, 100)), jnp.ones(100), jnp.zeros(100))
     assert out is None  # unaligned width
