@@ -159,7 +159,6 @@ def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
 
     keys0 = keys0_ref[0]                              # (M, C) bf16, shared
     q1i = q1i_ref[0]                                  # (M, 128) bf16, shared
-    m = keys0.shape[0]
     qb1 = qb1_ref[0].astype(f32)                      # (T, C) block-1 state
     queries = q_ref[0].astype(f32)                    # (T, C) block-2 state
     pe = pe_ref[0].astype(f32)

@@ -28,7 +28,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def mask_head_kernel_enabled(dtype) -> bool:
@@ -95,7 +94,6 @@ def _kernel(keys_ref, hyper_ref, w0_ref, b0_ref, lnw_ref, lnb_ref,
             eps: float):
     f32 = jnp.float32
     x = keys_ref[0]                                   # (TM, C) bf16
-    tm = x.shape[0]
 
     up1 = jax.lax.dot_general(
         x, w0_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=f32
