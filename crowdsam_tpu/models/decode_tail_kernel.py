@@ -45,12 +45,23 @@ _PARAM_NAMES = (
     # block-1 image->token update (keys0 -> keys1 stays in VMEM)
     "i2t1_k_w", "i2t1_k_b", "i2t1_v_w", "i2t1_v_b", "i2t1_o_w", "i2t1_o_b",
     "n4l0_w", "n4l0_b",
+    # token-side path (block-1 self-attn + t2i + MLP, block-2 self-attn) —
+    # tiny dots, but ~30 XLA kernel launches per decode iteration when run
+    # outside; in-kernel they ride along for free.
+    "l0sa_q_w", "l0sa_q_b", "l0sa_k_w", "l0sa_k_b",
+    "l0sa_v_w", "l0sa_v_b", "l0sa_o_w", "l0sa_o_b", "n1l0_w", "n1l0_b",
+    "t2i1_q_w", "t2i1_q_b", "t2i1_o_w", "t2i1_o_b", "n2l0_w", "n2l0_b",
+    "mlp1l0_w", "mlp1l0_b", "mlp2l0_w", "mlp2l0_b", "n3l0_w", "n3l0_b",
+    "l1sa_q_w", "l1sa_q_b", "l1sa_k_w", "l1sa_k_b",
+    "l1sa_v_w", "l1sa_v_b", "l1sa_o_w", "l1sa_o_b", "n1l1_w", "n1l1_b",
 )
 
 
 def tail_kernel_enabled(dtype) -> bool:
     if os.environ.get("CROWDSAM_DISABLE_TAIL_KERNEL"):
         return False
+    if os.environ.get("CROWDSAM_FORCE_TAIL_KERNEL"):
+        return True  # tests: run in interpret mode on CPU
     if dtype != jnp.bfloat16:
         return False
     try:
@@ -116,10 +127,42 @@ def build_tail_params(dec_params, shared, dtype):
         "i2t1_o_b": b(l0["cross_attn_image_to_token"]["out_proj"]),
         "n4l0_w": l0["norm4"]["weight"].astype(jnp.float32),
         "n4l0_b": l0["norm4"]["bias"].astype(jnp.float32),
+        "l0sa_q_w": w(l0["self_attn"]["q_proj"]),
+        "l0sa_q_b": b(l0["self_attn"]["q_proj"]),
+        "l0sa_k_w": w(l0["self_attn"]["k_proj"]),
+        "l0sa_k_b": b(l0["self_attn"]["k_proj"]),
+        "l0sa_v_w": w(l0["self_attn"]["v_proj"]),
+        "l0sa_v_b": b(l0["self_attn"]["v_proj"]),
+        "l0sa_o_w": w(l0["self_attn"]["out_proj"]),
+        "l0sa_o_b": b(l0["self_attn"]["out_proj"]),
+        "n1l0_w": l0["norm1"]["weight"].astype(jnp.float32),
+        "n1l0_b": l0["norm1"]["bias"].astype(jnp.float32),
+        "t2i1_q_w": w(l0["cross_attn_token_to_image"]["q_proj"]),
+        "t2i1_q_b": b(l0["cross_attn_token_to_image"]["q_proj"]),
+        "t2i1_o_w": w(l0["cross_attn_token_to_image"]["out_proj"]),
+        "t2i1_o_b": b(l0["cross_attn_token_to_image"]["out_proj"]),
+        "n2l0_w": l0["norm2"]["weight"].astype(jnp.float32),
+        "n2l0_b": l0["norm2"]["bias"].astype(jnp.float32),
+        "mlp1l0_w": w(l0["mlp"]["lin1"]),
+        "mlp1l0_b": b(l0["mlp"]["lin1"]),
+        "mlp2l0_w": w(l0["mlp"]["lin2"]),
+        "mlp2l0_b": b(l0["mlp"]["lin2"]),
+        "n3l0_w": l0["norm3"]["weight"].astype(jnp.float32),
+        "n3l0_b": l0["norm3"]["bias"].astype(jnp.float32),
+        "l1sa_q_w": w(l1["self_attn"]["q_proj"]),
+        "l1sa_q_b": b(l1["self_attn"]["q_proj"]),
+        "l1sa_k_w": w(l1["self_attn"]["k_proj"]),
+        "l1sa_k_b": b(l1["self_attn"]["k_proj"]),
+        "l1sa_v_w": w(l1["self_attn"]["v_proj"]),
+        "l1sa_v_b": b(l1["self_attn"]["v_proj"]),
+        "l1sa_o_w": w(l1["self_attn"]["out_proj"]),
+        "l1sa_o_b": b(l1["self_attn"]["out_proj"]),
+        "n1l1_w": l1["norm1"]["weight"].astype(jnp.float32),
+        "n1l1_b": l1["norm1"]["bias"].astype(jnp.float32),
     }
 
 
-def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
+def _kernel(keys0_ref, q1i_ref, k1_ref, v1_ref, tok_ref, *refs,
             num_heads: int, eps: float):
     out_keys_ref, out_q_ref = refs[-2], refs[-1]
     P = {n: r for n, r in zip(_PARAM_NAMES, refs[: len(_PARAM_NAMES)])}
@@ -159,10 +202,11 @@ def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
 
     keys0 = keys0_ref[0]                              # (M, C) bf16, shared
     q1i = q1i_ref[0]                                  # (M, 128) bf16, shared
-    qb1 = qb1_ref[0].astype(f32)                      # (T, C) block-1 state
-    queries = q_ref[0].astype(f32)                    # (T, C) block-2 state
-    pe = pe_ref[0].astype(f32)
-    tcnt = queries.shape[0]
+    k1 = k1_ref[0]                                    # (M, 128) bf16, shared
+    v1 = v1_ref[0]                                    # (M, 128) bf16, shared
+    pe = tok_ref[0].astype(f32)                       # (T, C) initial tokens
+    c_full = pe.shape[-1]                             # == query_pe
+    tcnt = pe.shape[0]
 
     # Stacked-row head layout: row (h, t) of an (H*T, 128) matrix carries
     # token t masked to head h's lanes, so every attention needs ONE wide
@@ -197,6 +241,31 @@ def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
         == jax.lax.broadcasted_iota(jnp.int32, (ht, num_heads), 1)
     ).astype(f32)                                     # (H*T, H)
 
+    # Full-width (rate-1) head layout for the token self-attentions.
+    hd2 = c_full // num_heads
+    scale2 = 1.0 / math.sqrt(hd2)
+    row_lane_h2 = jax.lax.broadcasted_iota(jnp.int32, (ht, c_full), 1) // hd2
+    row_head2 = jax.lax.broadcasted_iota(jnp.int32, (ht, c_full), 0) // tcnt
+    row_mask2 = (row_head2 == row_lane_h2)            # (H*T, C)
+
+    def token_self_attn(x_qk, x_v, pfx):
+        """Full-dim token self-attention (transformer.py:195-254, rate 1):
+        per-head scores via head-masked stacked q rows against unmasked k
+        (only the head's lanes contribute to the contraction)."""
+        qh = dense(x_qk, f"{pfx}_q_w", f"{pfx}_q_b")  # (T, C)
+        kh = dense(x_qk, f"{pfx}_k_w", f"{pfx}_k_b")
+        vh = dense(x_v, f"{pfx}_v_w", f"{pfx}_v_b")
+        qs = jnp.broadcast_to(
+            qh.astype(bf)[None], (num_heads, tcnt, c_full)
+        ).reshape(ht, c_full)
+        qs = jnp.where(row_mask2, qs, jnp.zeros((), qs.dtype))
+        s = dot_t(qs, kh.astype(bf)) * scale2         # (H*T, T)
+        p_att = jax.nn.softmax(s, axis=-1)
+        out = dot(p_att, vh.astype(bf))               # (H*T, C) full-width
+        out = jnp.where(row_mask2, out, 0.0)
+        out = out.reshape(num_heads, tcnt, c_full).sum(axis=0)
+        return rnd(dot(rnd(out), P[f"{pfx}_o_w"][...]) + P[f"{pfx}_o_b"][...])
+
     def image_update(keys_prev, q_img, tok_state, pfx, nwn, nbn):
         """Image->token cross attention + residual + LN: keys_prev ->
         keys_next, entirely in VMEM.  Per-(m, h) softmax over tokens uses
@@ -222,9 +291,24 @@ def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
             nwn, nbn,
         )
 
+    # ---- block-1 token path (reference: skip_first_layer_pe) ----
+    queries = ln(token_self_attn(pe, pe, "l0sa"), "n1l0_w", "n1l0_b")
+    qh = dense(queries + pe, "t2i1_q_w", "t2i1_q_b")
+    att = cross_attn_t2i(qh, k1, v1, "t2i1_o_w", "t2i1_o_b")
+    queries = ln(queries + att, "n2l0_w", "n2l0_b")
+    mlp = dense(queries, "mlp1l0_w", "mlp1l0_b")
+    mlp = jnp.maximum(mlp, 0.0)
+    mlp = dense(mlp, "mlp2l0_w", "mlp2l0_b")
+    qb1 = ln(queries + mlp, "n3l0_w", "n3l0_b")
+
     # ---- block 1: image -> token update (keys0 -> keys1, VMEM-only) ----
     keys1 = image_update(keys0, q1i, qb1, "i2t1", "n4l0_w", "n4l0_b")
     keys1 = keys1.astype(bf)
+
+    # ---- block-2 token self-attention ----
+    queries = ln(
+        qb1 + token_self_attn(qb1 + pe, qb1, "l1sa"), "n1l1_w", "n1l1_b"
+    )
 
     # ---- block 2: token -> image attention ----
     kvq = dot(keys1, P["wide2"][...])                 # (M, 3*128) f32
@@ -261,17 +345,27 @@ def _kernel(keys0_ref, q1i_ref, qb1_ref, q_ref, pe_ref, *refs,
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "interpret")
 )
-def twoway_tail_pallas(keys0, q1i, queries_b1, queries, query_pe, params,
+def twoway_tail_pallas(keys0, q1i, k1, v1, tokens, params,
                        num_heads: int = 8, interpret: bool = False):
-    """keys0 (M, C) + q1i (M, 128) shared per image; queries_b1 / queries /
-    query_pe (P, T, C) per prompt -> (keys2 (P, M, C) bf16, queries_final
-    (P, T, C) bf16).  `queries_b1` is the block-1 token state after its
-    MLP+norm3; `queries` is the block-2 state after self-attention + norm1
-    (both computed batched in XLA)."""
+    """keys0 (M, C) + lane-major block-1 image projections q1i/k1/v1
+    (M, 128) shared per image; `tokens` (P, T, C) per prompt (the initial
+    output+sparse token embeddings — both the initial queries and the
+    query PE) -> (keys2 (P, M, C) bf16, queries_final (P, T, C) bf16).
+
+    Covers the WHOLE two-way transformer: block-1 self-attn + t2i + MLP +
+    image->token update, block-2 self-attn + t2i + MLP + image->token
+    update, final token->image attention — one kernel launch per prompt
+    batch instead of ~30 XLA kernels."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, t, c = queries.shape
+    if not interpret:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:
+            interpret = True
+
+    p, t, c = tokens.shape
     m = keys0.shape[0]
 
     kern = functools.partial(_kernel, num_heads=num_heads, eps=1e-5)
@@ -280,9 +374,9 @@ def twoway_tail_pallas(keys0, q1i, queries_b1, queries, query_pe, params,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, m, q1i.shape[-1]), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, m, k1.shape[-1]), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, m, v1.shape[-1]), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -290,9 +384,9 @@ def twoway_tail_pallas(keys0, q1i, queries_b1, queries, query_pe, params,
     operands = [
         keys0.astype(jnp.bfloat16)[None],
         q1i.astype(jnp.bfloat16)[None],
-        queries_b1.astype(jnp.bfloat16),
-        queries.astype(jnp.bfloat16),
-        query_pe.astype(jnp.bfloat16),
+        k1.astype(jnp.bfloat16)[None],
+        v1.astype(jnp.bfloat16)[None],
+        tokens.astype(jnp.bfloat16),
     ]
     for name in _PARAM_NAMES:
         arr = params[name]

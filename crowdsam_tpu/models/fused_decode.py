@@ -182,9 +182,11 @@ def precompute_decode_shared(
 
     if tail_kernel_enabled(dtype):
         shared["tail"] = build_tail_params(dec_params, shared, dtype)
-        # Lane-major block-1 image-side q for the kernel's in-VMEM
-        # keys0 -> keys1 update (q1ih above is the _heads layout).
+        # Lane-major block-1 image-side projections for the kernel's
+        # in-VMEM transformer (k1h/v1h/q1ih above are the _heads layout).
         shared["q1i_flat"] = _dense(keys0 + pe, l0i2t["q_proj"], dtype)
+        shared["k1_flat"] = _dense(keys0 + pe, l0t2i["k_proj"], dtype)
+        shared["v1_flat"] = _dense(keys0, l0t2i["v_proj"], dtype)
     return shared
 
 
@@ -228,6 +230,24 @@ def fused_decode(
     queries = tokens
     query_pe = tokens  # point_embedding is both the initial queries and the PE
 
+    if "tail" in shared:
+        # Fused Pallas transformer: the WHOLE two-way decoder (both blocks +
+        # final attention, token and image sides) runs per prompt in VMEM —
+        # keys1/keys2 never touch HBM, and the ~30 tiny token-side XLA
+        # kernels per iteration collapse into the one launch
+        # (models/decode_tail_kernel.py).
+        from crowdsam_tpu.models.decode_tail_kernel import twoway_tail_pallas
+
+        keys2, queries = twoway_tail_pallas(
+            shared["keys0"], shared["q1i_flat"], shared["k1_flat"],
+            shared["v1_flat"], tokens, shared["tail"], num_heads=num_heads,
+        )
+        return _decode_heads(
+            dec_params, shared, queries, keys2, dino_feats_proj,
+            multimask_output, num_mask_tokens, p_cnt, h, w, c,
+            dtype, n_class, packed_masks,
+        )
+
     # ---------------- block 1 (skip_first_layer_pe) -------------------------
     l0 = t["layers_0"]
     queries = _token_self_attn(l0["self_attn"], queries, queries,
@@ -247,15 +267,12 @@ def fused_decode(
     queries = _ln(queries + out, l0["norm2"], dtype)
     queries = _ln(queries + _mlp_block(l0["mlp"], queries, dtype),
                   l0["norm3"], dtype)
-    queries_b1 = queries
 
-    use_tail = "tail" in shared
-    if not use_tail:
-        keys1 = _image_to_token_update(
-            l0["cross_attn_image_to_token"], shared["keys0"][None],
-            shared["q1ih"], queries, query_pe, num_heads, dtype,
-        )
-        keys1 = _ln(keys1, l0["norm4"], dtype)
+    keys1 = _image_to_token_update(
+        l0["cross_attn_image_to_token"], shared["keys0"][None],
+        shared["q1ih"], queries, query_pe, num_heads, dtype,
+    )
+    keys1 = _ln(keys1, l0["norm4"], dtype)
 
     # ---------------- block 2 ------------------------------------------------
     l1 = t["layers_1"]
@@ -265,23 +282,6 @@ def fused_decode(
                                    num_heads, dtype),
         l1["norm1"],
     dtype)
-
-    if use_tail:
-        # Fused Pallas tail: block-1 image->token update, block-2 cross
-        # attentions + MLP + image->token update, and the final attention —
-        # per prompt in VMEM; keys1/keys2 intermediates never touch HBM
-        # (models/decode_tail_kernel.py).
-        from crowdsam_tpu.models.decode_tail_kernel import twoway_tail_pallas
-
-        keys2, queries = twoway_tail_pallas(
-            shared["keys0"], shared["q1i_flat"], queries_b1, queries,
-            query_pe, shared["tail"], num_heads=num_heads,
-        )
-        return _decode_heads(
-            dec_params, shared, queries, keys2, dino_feats_proj,
-            multimask_output, num_mask_tokens, p_cnt, h, w, c,
-            dtype, n_class, packed_masks,
-        )
 
     cdown = shared["kpe2"].shape[-1]
     kvq = _matmul(keys1, shared["wide2"], dtype)  # (P, M, 3c)
