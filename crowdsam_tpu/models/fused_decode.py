@@ -337,8 +337,8 @@ def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
     # ---------------- upscaling + hypernetwork masks ------------------------
     hyper_in = jnp.stack(
         [
-            _relu_mlp(dec_params[f"hyper_mlps_{i}"], mask_tokens_out[:, i, :],
-                      3, dtype)
+            _relu_mlp(dec_params[f"hyper_mlps_{i}"],
+                      mask_tokens_out[:, i, :], 3, dtype)
             for i in range(num_mask_tokens)
         ],
         axis=1,
@@ -398,18 +398,22 @@ def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
     if dino_feats_proj is None:
         cls_scores = jnp.zeros((p_cnt, num_mask_tokens, n_class))
     else:
-        npix = 16 * h * w
-        mask_weight = jax.nn.softmax(
-            masks.reshape(p_cnt, num_mask_tokens, npix).astype(jnp.float32),
-            axis=-1,
-        )
+        # PWD pooling: softmax(masks) @ dino, computed as exp-weights over
+        # the npix axis with the normalization folded into the contraction
+        # (num/den) — the MXU accumulates both in f32, so this matches the
+        # explicit-softmax path while avoiding two (P, K, npix) f32
+        # materializations (~64 MB per decode iteration).
         # In packed mode dino_feats_proj is packed-flat, so the contraction
         # pairs each weight with the matching packed DINO element.
-        pooled = jnp.einsum(
-            "pkx,xc->pkc",
-            mask_weight.astype(dtype),
-            dino_feats_proj.reshape(npix, -1).astype(dtype),
-        )
+        npix = 16 * h * w
+        mflat = masks.reshape(p_cnt, num_mask_tokens, npix)
+        mmax = jnp.max(mflat.astype(jnp.float32), axis=-1, keepdims=True)
+        e = jnp.exp(mflat.astype(jnp.float32) - mmax).astype(dtype)
+        dino_flat = dino_feats_proj.reshape(npix, -1).astype(dtype)
+        num = jnp.einsum("pkx,xc->pkc", e, dino_flat,
+                         preferred_element_type=jnp.float32)
+        den = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        pooled = (num / den).astype(dtype)
         cls_scores = _relu_mlp(dec_params["point_classifier"], pooled, 2, dtype)
 
     fused_token = jnp.concatenate(
