@@ -88,6 +88,12 @@ def main():
          lambda o: o)
     loop("EPS engine", lambda i: engine_once(jax.random.PRNGKey(i)),
          lambda o: o["num_consumed"])
+    # Warm the bucket-32 survivor program before timing it (generate() only
+    # compiles the speculative in-engine tail, so the first bucketed call
+    # here would otherwise time a full compile).
+    force_sync(model._survivor_pass(
+        gathered, jnp.int32(1), jnp.asarray((in_h, in_w), jnp.int32)
+    )["summary"])
     loop("survivor pass (bucket 32)",
          lambda i: model._survivor_pass(gathered, jnp.int32(1), jnp.asarray((in_h, in_w), jnp.int32)),
          lambda o: o["summary"])
