@@ -190,6 +190,15 @@ def build_sam_vit_t(
     and its mobile_sam arch path strict-loads the PWD adapter into it
     (crowdsam/model.py:107 — crashes on real adapters); we use the PWD-Net
     decoder so the full CrowdSAM pipeline works with this encoder too."""
+    if hq:
+        import warnings
+
+        warnings.warn(
+            "build_sam_vit_t has no HQ decoder variant; hq=True is ignored "
+            "and the standard PWD-Net MaskDecoder is built instead "
+            "(sam_arch: sam_hq is incompatible with a vit_t/mobile sam_model)",
+            stacklevel=2,
+        )
     del hq  # no HQ variant of the TinyViT arch
     from crowdsam_tpu.models.tiny_vit import TinyViT
 

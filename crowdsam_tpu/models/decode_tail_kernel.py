@@ -280,6 +280,12 @@ def _kernel(keys0_ref, q1i_ref, k1_ref, v1_ref, tok_ref, *refs,
         denom = jax.lax.dot_general(
             e, seg, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )                                             # (M, H)
+        # Guard against f32 exp underflow: the row max is global across
+        # heads, so a head trailing the best head by >~88 would see all
+        # its exp() terms flush to 0 and denom==0 -> NaN.  Clamping to a
+        # tiny positive value turns that (degenerate, all-underflowed)
+        # head's output into ~0 instead of NaN.
+        denom = jnp.maximum(denom, jnp.float32(1e-30))
         denom_b = jax.lax.dot_general(
             denom, seg.T, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )                                             # (M, H*T)

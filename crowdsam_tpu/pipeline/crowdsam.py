@@ -161,6 +161,13 @@ class CrowdSAM:
         # ---- test-time knobs (reference model.py:44-64) ----
         self.mask_selection = tcfg["mask_selection"]
         self.apply_box_offsets = tcfg["apply_box_offsets"]
+        if self.apply_box_offsets:
+            self.logger.warning(
+                "test.apply_box_offsets: True is ignored — the offsets "
+                "branch is dead in the reference too (crowdsam/model.py:"
+                "301-305 reads data['box_offsets'], which is never "
+                "produced, so True would KeyError there)"
+            )
         self.max_prompts = tcfg["max_prompts"]
         self.filter_thresh = tcfg["filter_thresh"]
         self.max_size = tcfg["max_size"]
@@ -216,6 +223,17 @@ class CrowdSAM:
             spec_survivors=tpucfg.get("spec_survivors", 16),
             fullres_cleanup=tpucfg.get("fullres_cleanup", False),
         )
+        if self.engine_cfg.fullres_cleanup and not (
+            self.output_rles and self.engine_cfg.min_mask_region_area > 0
+        ):
+            self.logger.warning(
+                "tpu.fullres_cleanup is set but %s; the exact full-res "
+                "cleanup path only runs with output RLEs and a positive "
+                "min_mask_region_area — falling back to the approximate "
+                "low-res cleanup (documented deviation)",
+                "output_rles is off" if not self.output_rles
+                else "min_mask_region_area == 0",
+            )
         self.engine = make_eps_engine(
             sam.prompt_encoder, sam.mask_decoder, self.engine_cfg,
             spec_with_masks=self.output_rles,

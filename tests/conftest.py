@@ -27,3 +27,13 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def ten_shot_root(tmp_path_factory):
+    """Synthetic 10-shot COCO fixture set (utils/fixtures.py) — the tests'
+    stand-in for the reference's bundled crowdhuman_train/ data."""
+    from crowdsam_tpu.utils.fixtures import generate_ten_shot
+
+    root = tmp_path_factory.mktemp("tenshot")
+    return generate_ten_shot(str(root))

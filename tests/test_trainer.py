@@ -64,7 +64,7 @@ def test_split_merge_roundtrip():
 
 
 @pytest.mark.slow
-def test_short_training_run_updates_only_adapter():
+def test_short_training_run_updates_only_adapter(ten_shot_root):
     from crowdsam_tpu.config import load_config, modify_config
     from crowdsam_tpu.models.build import sam_model_registry
     from crowdsam_tpu.models.dinov2 import dino_model_registry
@@ -83,8 +83,8 @@ def test_short_training_run_updates_only_adapter():
     predictor = SamPredictor(sam, dino, dino_params)
 
     dataset = CrowdHumanDataset(
-        "/root/reference/crowdhuman_train",
-        "/root/reference/crowdhuman_train/train_crowdhuman_10shot.json",
+        ten_shot_root,
+        ten_shot_root + "/train_crowdhuman_10shot.json",
     )
     before = jax.tree_util.tree_map(
         lambda x: np.asarray(x).copy(), sam.params["mask_decoder"]

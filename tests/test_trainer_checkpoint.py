@@ -24,14 +24,14 @@ def _make(seed=0):
 
 
 @pytest.mark.slow
-def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+def test_checkpoint_resume_matches_uninterrupted(tmp_path, ten_shot_root):
     cfg = modify_config(load_config(None), [
         "train.n_shot", "1", "train.steps", "6",
         "train.samples_per_batch", "4", "train.lr", "0.001",
     ])
     dataset = CrowdHumanDataset(
-        "/root/reference/crowdhuman_train",
-        "/root/reference/crowdhuman_train/train_crowdhuman_10shot.json",
+        ten_shot_root,
+        ten_shot_root + "/train_crowdhuman_10shot.json",
     )
 
     # Uninterrupted run.

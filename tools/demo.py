@@ -33,8 +33,10 @@ def environ_init():
                         help="bbox only shows boxes; seg also shows masks")
     parser.add_argument("-c", "--config_file", type=str,
                         default="./configs/crowdhuman.yaml")
-    parser.add_argument("-i", "--input", default="crowdhuman_train/Images",
-                        help="directory, single image, or glob pattern")
+    parser.add_argument("-i", "--input", default=None,
+                        help="directory, single image, or glob pattern "
+                             "(default: data/crowdhuman_train/Images, "
+                             "auto-generated synthetic fixtures if absent)")
     parser.add_argument("-o", "--output", type=str, default="demo_out")
     parser.add_argument("options", nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -42,6 +44,10 @@ def environ_init():
     configs = modify_config(configs, args.options)
     os.makedirs(args.output, exist_ok=True)
     logger = setup_logger(args.output + "/log")
+    if args.input is None:
+        from crowdsam_tpu.utils.fixtures import ensure_ten_shot
+
+        args.input = os.path.join(ensure_ten_shot(logger=logger), "Images")
     logger.info(str(args))
     return args, configs, logger
 

@@ -98,9 +98,14 @@ def main():
     )
     print("total learnable parameters:", n_params)
 
-    dataset = CrowdHumanDataset(
-        config["data"]["dataset_root"], config["data"]["train_file"]
-    )
+    dataset_root = config["data"]["dataset_root"]
+    train_file = config["data"]["train_file"]
+    if not os.path.exists(train_file):
+        from crowdsam_tpu.utils.fixtures import ANNOT_NAME, ensure_ten_shot
+
+        dataset_root = ensure_ten_shot(logger=logger)
+        train_file = os.path.join(dataset_root, ANNOT_NAME)
+    dataset = CrowdHumanDataset(dataset_root, train_file)
     new_dec = trainer.train(dataset)
     save_pytree(config["train"]["save_path"], new_dec)
     logger.info("done")
