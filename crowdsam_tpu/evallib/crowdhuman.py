@@ -57,9 +57,26 @@ def box_overlap(dboxes: np.ndarray, gboxes: np.ndarray, if_iou: bool) -> np.ndar
 
 
 class ImageEval:
-    """Per-image det/gt record (reference `Image`, :15-111)."""
+    """Per-image det/gt record (reference `Image`, :15-111).
 
-    def __init__(self):
+    mode=0: body boxes (vbox/fbox).  mode=1: head boxes (hbox).  mode=2:
+    joint body+head — gt rows are [body xyxy, head xyxy, tag] where tag=1
+    iff neither box is ignored (reference :89-96), dt rows are
+    [body xyxy, head xyxy, score], matched by `compare_caltech_union`.
+
+    NOTE (documented deviation): the reference *ships* modes 1/2 broken —
+    `load_gt_boxes` has the head-box rows commented out (reference
+    :245-279, `head_bbox` stays an empty list, so mode 1/2 loading raises
+    TypeError) and `Database.compare` never dispatches to
+    `compare_caltech_union` (:436-446).  We implement the evidently
+    intended semantics (the upstream CrowdHuman benchmark tool this file
+    derives from): head rows loaded from `hbox` with `head_attr.ignore`,
+    and mode 2 matched with the Caltech-union strategy (:145-200).
+    """
+
+    def __init__(self, mode: int = 0):
+        assert mode in (0, 1, 2)
+        self.mode = mode
         self.ID = None
         self.width: Optional[float] = None
         self.height: Optional[float] = None
@@ -86,42 +103,95 @@ class ImageEval:
         self.ign_num = int((tag == -1).sum())
 
     def load_cocojson_dt(self, annots: List[dict]):
-        boxes = np.array([a["bbox"] for a in annots], dtype=np.float64).reshape(-1, 4)
+        key = "hbox" if self.mode == 1 and annots and "hbox" in annots[0] \
+            else "bbox"
+        boxes = np.array([a[key] for a in annots], dtype=np.float64).reshape(-1, 4)
         if len(boxes):
             boxes[:, 2:4] += boxes[:, :2]
         if annots and "score" in annots[0]:
             scores = np.array([a["score"] for a in annots], dtype=np.float64)
         else:
             scores = np.ones(len(boxes))
-        self.dtboxes = np.concatenate([boxes, scores[:, None]], axis=1)
+        if self.mode == 2:
+            # Joint rows [body4, head4, score] (reference :106-108 loads
+            # body via body_key and head+score via head_key); COCO-format
+            # detections carry the head box in an `hbox` field.
+            assert annots == [] or "hbox" in annots[0], (
+                "mode 2 needs an 'hbox' field on each detection")
+            hboxes = np.array(
+                [a["hbox"] for a in annots], dtype=np.float64
+            ).reshape(-1, 4)
+            if len(hboxes):
+                hboxes[:, 2:4] += hboxes[:, :2]
+            self.dtboxes = np.concatenate(
+                [boxes, hboxes, scores[:, None]], axis=1)
+        else:
+            self.dtboxes = np.concatenate([boxes, scores[:, None]], axis=1)
         self.clip_boxes()
 
     def load_odgt_gt(self, record: dict, visible_flag: bool = True):
         self.ID = record["ID"]
         self.width = record.get("width")
         self.height = record.get("height")
-        rows = []
+        rows, head_rows = [], []
         for rb in record.get("gtboxes", []):
-            tag = 1.0 if rb.get("tag") in PERSON_CLASSES else -1.0
-            extra = rb.get("extra", {})
-            if extra.get("ignore", 0) != 0:
-                tag = -1.0
+            # Body/head tags per reference :252-266: unknown class -> both
+            # -1; extra.ignore -> both -1; head_attr.ignore -> head -1.
+            if rb.get("tag") in PERSON_CLASSES:
+                tag, head_tag = 1.0, 1.0
+            else:
+                tag, head_tag = -1.0, -1.0
+            if rb.get("extra", {}).get("ignore", 0) != 0:
+                tag = head_tag = -1.0
+            if rb.get("head_attr", {}).get("ignore", 0) != 0:
+                head_tag = -1.0
             box = rb["vbox"] if visible_flag else rb["fbox"]
             if isinstance(box[0], list):
                 box = box[0]
             rows.append([box[0], box[1], box[0] + box[2], box[1] + box[3], tag])
-        self.gtboxes = np.array(rows, dtype=np.float64).reshape(-1, 5)
+            hb = rb.get("hbox", [0, 0, 0, 0])
+            if isinstance(hb[0], list):
+                hb = hb[0]
+            head_rows.append(
+                [hb[0], hb[1], hb[0] + hb[2], hb[1] + hb[3], head_tag])
+        body = np.array(rows, dtype=np.float64).reshape(-1, 5)
+        head = np.array(head_rows, dtype=np.float64).reshape(-1, 5)
+        if self.mode == 0:
+            self.gtboxes = body
+        elif self.mode == 1:
+            self.gtboxes = head
+        else:
+            # Joint tag = 1 iff neither box ignored (reference :89-96).
+            joint = ((body[:, 4] != -1) & (head[:, 4] != -1)).astype(np.float64)
+            self.gtboxes = np.concatenate(
+                [body[:, :4], head[:, :4], joint[:, None]], axis=1)
         self.gt_num = len(rows)
-        self.ign_num = int((self.gtboxes[:, 4] == -1).sum()) if len(rows) else 0
+        if not len(rows):
+            self.ign_num = 0
+        elif self.mode == 2:
+            self.ign_num = int((self.gtboxes[:, 8] == 0).sum())
+        else:
+            self.ign_num = int((self.gtboxes[:, 4] == -1).sum())
 
     def clip_boxes(self):
-        if self.dtboxes is None or self.width is None or self.height is None:
+        """Clip dt AND gt boxes to image bounds (reference clip_all_boader
+        :229-243, invoked at dt-load time :417-418; in mode 2 both the body
+        and head columns are clipped)."""
+        if self.width is None or self.height is None:
             return
-        b = self.dtboxes
-        b[:, 0] = np.clip(b[:, 0], 0, self.width - 1)
-        b[:, 1] = np.clip(b[:, 1], 0, self.height - 1)
-        b[:, 2] = np.clip(b[:, 2], 0, self.width)
-        b[:, 3] = np.clip(b[:, 3], 0, self.height)
+
+        def _clip(b, o):
+            b[:, o + 0] = np.clip(b[:, o + 0], 0, self.width - 1)
+            b[:, o + 1] = np.clip(b[:, o + 1], 0, self.height - 1)
+            b[:, o + 2] = np.clip(b[:, o + 2], 0, self.width)
+            b[:, o + 3] = np.clip(b[:, o + 3], 0, self.height)
+
+        for b in (self.dtboxes, self.gtboxes):
+            if b is None or not len(b):
+                continue
+            _clip(b, 0)
+            if self.mode == 2:
+                _clip(b, 4)
 
     # ---- matching ---------------------------------------------------------
     def compare_caltech(self, thres: float) -> List[Tuple[float, int]]:
@@ -154,6 +224,49 @@ class ImageEval:
                 out.append((float(dt[i, -1]), 0, self.ID))
         return out
 
+    def compare_caltech_union(self, thres: float) -> List[Tuple[float, int]]:
+        """Joint body+head greedy matching (reference :145-200): a
+        detection matches a gt only when BOTH its body IoU and head IoU
+        with that gt exceed `thres`; ignore-region gts (tag 0) suppress by
+        body IoA; each gt matches at most one detection."""
+        if self.dtboxes is None or self.gtboxes is None:
+            return []
+        if len(self.dtboxes) == 0:
+            return []
+        dt = self.dtboxes[np.argsort(-self.dtboxes[:, -1], kind="stable")]
+        gt = self.gtboxes[np.argsort(-self.gtboxes[:, -1], kind="stable")]
+        gt_matched = np.zeros(len(gt))
+        iou_body = box_overlap(dt[:, :4], gt[:, :4], True)
+        iou_head = box_overlap(dt[:, 4:8], gt[:, 4:8], True)
+        ioa_body = box_overlap(dt[:, :4], gt[:, :4], False)
+        out = []
+        for i in range(len(dt)):
+            maxpos, maxiou = -1, thres
+            for j in range(len(gt)):
+                if gt_matched[j] == 1:
+                    continue
+                if gt[j, -1] > 0:
+                    if iou_body[i, j] > maxiou and iou_head[i, j] > maxiou:
+                        maxiou = iou_body[i, j]
+                        maxpos = j
+                else:
+                    # gts are tag-sorted: positives first.  Reaching an
+                    # ignore row with a positive candidate ends the scan;
+                    # otherwise ignore regions catch the detection by IoA.
+                    if maxpos >= 0:
+                        break
+                    if ioa_body[i, j] > thres:
+                        maxiou = ioa_body[i, j]
+                        maxpos = j
+            if maxpos >= 0:
+                if gt[maxpos, -1] > 0:
+                    gt_matched[maxpos] = 1
+                    out.append((float(dt[i, -1]), 1, self.ID))
+                # matched to an ignore region -> dropped entirely
+            else:
+                out.append((float(dt[i, -1]), 0, self.ID))
+        return out
+
 
 class Database:
     """Whole-dataset evaluation (reference `Database`, :360-548)."""
@@ -166,11 +279,15 @@ class Database:
         remove_empty_gt: bool = False,
         visible_flag: bool = False,
     ):
-        assert mode == 0, "only body-box mode is supported"
+        assert mode in (0, 1, 2), mode
+        self.mode = mode
         self.images: Dict = {}
         assert os.path.exists(gt_path), gt_path
         assert os.path.exists(dt_path), dt_path
         if ".json" in gt_path:
+            assert mode == 0, (
+                "modes 1/2 need head boxes; COCO-json ground truth carries "
+                "body boxes only — use .odgt ground truth")
             self._load_json(gt_path, is_gt=True)
         elif ".odgt" in gt_path:
             self._load_odgt(gt_path, visible_flag=visible_flag)
@@ -204,7 +321,7 @@ class Database:
             ):
                 k += 1
             if is_gt:
-                self.images[image_id] = ImageEval()
+                self.images[image_id] = ImageEval(self.mode)
                 self.images[image_id].load_cocojson_gt(
                     img_item, annots[annot_id : annot_id + k]
                 )
@@ -221,17 +338,24 @@ class Database:
             lines = f.readlines()
         if len(lines) == 1:
             records = json.loads(lines[0])
+            if isinstance(records, dict):
+                # A single-record one-line file; the reference's 1-line
+                # branch (:427-429) assumes a list and would crash here.
+                records = [records]
         else:
             records = [json.loads(line) for line in lines]
         for record in records:
-            img = ImageEval()
+            img = ImageEval(self.mode)
             img.load_odgt_gt(record, visible_flag=visible_flag)
             self.images[record["ID"]] = img
 
     def compare(self, thres: float = 0.5):
         scorelist = []
         for img in self.images.values():
-            scorelist.extend(img.compare_caltech(thres))
+            if self.mode == 2:
+                scorelist.extend(img.compare_caltech_union(thres))
+            else:
+                scorelist.extend(img.compare_caltech(thres))
         scorelist.sort(key=lambda x: x[0], reverse=True)
         self.scorelist = scorelist
 

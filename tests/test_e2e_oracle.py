@@ -1,0 +1,175 @@
+"""End-to-end loop-level parity: CrowdSAM.generate vs the reference-shaped
+dynamic loop oracle (tests/ref_loop_oracle.py).
+
+The strict test must agree detection-for-detection with the engine
+(boxes/scores/categories/points/stability/masks/consumed-prompt count) —
+it fails if any EPS-loop logic (coord scaling, occupy pruning, filter
+order, NMS, small-region postprocess, score/uncrop assembly) diverges from
+reference `crowdsam/model.py:192-443` semantics modulo the deviations
+documented in PARITY.md.
+
+The bound test runs the oracle in mode="exact" (full reference semantics:
+image-frame masks before filtering, image-coordinate occupy, full-res NMS
+boxes, unscaled cleanup threshold) and quantifies the deviations' effect.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from crowdsam_tpu.config import load_config, modify_config
+from crowdsam_tpu.ops.rle import coco_decode_rle
+from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+
+from ref_loop_oracle import oracle_generate
+
+
+def oracle_config(**overrides):
+    cfg = load_config(None)
+    opts = [
+        "model.sam_model", "vit_tiny",
+        "model.dino_model", "dinov2_vits14",
+        "model.sam_checkpoint", "",
+        "model.dino_checkpoint", "",
+        "model.sam_adapter_checkpoint", "",
+        "test.max_size", "256",
+        "test.grid_size", "48",
+        "test.max_prompts", "96",
+        "test.points_per_batch", "8",
+        # exercise every filter: pred-IoU ON, stability ON (offset keeps the
+        # ratio informative for random weights), occupy pruning ON via a low
+        # filter_thresh
+        "test.pred_iou_thresh", "0.05",
+        "test.stability_score_thresh", "0.3",
+        "test.stability_score_offset", "0.5",
+        "test.filter_thresh", "0.2",
+        "test.pos_sim_thresh", "0.3",
+        "tpu.compute_dtype", "float32",
+        # the engine's unfused path calls the same decoder module the
+        # oracle does (fused-decode numerics are A/B'd elsewhere)
+        "tpu.fused_decode", "False",
+    ]
+    for k, v in overrides.items():
+        opts += [k, str(v)]
+    return modify_config(cfg, opts)
+
+
+def _structured_image(rng, h, w):
+    """Blob-structured image: smoother FG maps than pure noise, so the
+    occupy/NMS/cleanup paths see object-like masks."""
+    img = rng.integers(0, 120, (h, w, 3), dtype=np.uint8).astype(np.int32)
+    for _ in range(6):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        ry, rx = rng.integers(10, h // 3), rng.integers(10, w // 3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        img[blob] += int(rng.integers(60, 135))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CrowdSAM(oracle_config())
+
+
+def _run_engine(model, image):
+    """Single-crop generate via the dispatch/finalize pair so we can also
+    read the engine's consumed-prompt counter."""
+    img = np.asarray(image, np.uint8)
+    crop_box = [0, 0, img.shape[1], img.shape[0]]
+    key0 = model._key
+    res, meta = model._dispatch_crop(img, crop_box)
+    consumed = int(np.asarray(res["num_consumed"]))
+    data = model._finalize_crop(res, meta)
+    sub = jax.random.split(key0)[1]
+    return data, consumed, sub
+
+
+def _sorted(dets_scores):
+    return np.argsort(-np.asarray(dets_scores), kind="stable")
+
+
+@pytest.mark.slow
+def test_engine_matches_reference_loop_oracle(model, rng):
+    mismatches = []
+    for t in range(3):
+        image = _structured_image(rng, 160 + 16 * t, 256)
+        data, consumed, sub = _run_engine(model, image)
+        o = oracle_generate(model, image, sub, mode="parity")
+
+        assert consumed == o["num_consumed"], (
+            f"trial {t}: engine consumed {consumed} prompts, "
+            f"oracle {o['num_consumed']} — batch/occupy semantics diverge")
+
+        n_e = 0 if data is None else len(data["boxes"])
+        n_o = len(o["boxes"])
+        assert n_e == n_o, (
+            f"trial {t}: engine produced {n_e} detections, oracle {n_o}")
+        if n_e == 0:
+            continue
+
+        ei = _sorted(data["scores"])
+        oi = _sorted(o["scores"])
+        np.testing.assert_allclose(
+            np.asarray(data["scores"])[ei], o["scores"][oi], atol=2e-4,
+            err_msg=f"trial {t}: scores")
+        np.testing.assert_array_equal(
+            np.asarray(data["categories"])[ei], o["categories"][oi],
+            err_msg=f"trial {t}: categories")
+        np.testing.assert_allclose(
+            np.asarray(data["stability_score"])[ei], o["stability"][oi],
+            atol=1e-4, err_msg=f"trial {t}: stability")
+        np.testing.assert_allclose(
+            np.asarray(data["points"])[ei], o["points"][oi], atol=1e-3,
+            err_msg=f"trial {t}: prompt points")
+        np.testing.assert_allclose(
+            np.asarray(data["boxes"])[ei], o["boxes"][oi], atol=0.5,
+            err_msg=f"trial {t}: boxes")
+
+        # Masks: engine RLEs decode to the oracle's full-res masks.
+        in_h, in_w = o["in_hw"]
+        for k in range(n_e):
+            m_e = coco_decode_rle(data["rles"][ei[k]]).astype(bool)
+            m_o = o["masks"][oi[k]]
+            assert m_e.shape == (in_h, in_w)
+            inter = (m_e & m_o).sum()
+            union = (m_e | m_o).sum()
+            iou = inter / union if union else 1.0
+            if iou < 0.999:
+                mismatches.append((t, k, iou))
+    assert not mismatches, f"mask mismatches: {mismatches}"
+
+
+@pytest.mark.slow
+def test_occupy_and_resolution_deviation_bound(model, rng):
+    """Bound the documented deviations (PARITY.md: 256^2 occupy bitmap,
+    low-res-mask filtering/NMS) against full reference semantics: the
+    exact-mode oracle must agree with the engine on detection count within
+    30% and match >=70% of detections at IoU>=0.5."""
+    agree, total = 0, 0
+    for t in range(2):
+        image = _structured_image(rng, 192, 256)
+        data, consumed, sub = _run_engine(model, image)
+        o = oracle_generate(model, image, sub, mode="exact")
+        n_e = 0 if data is None else len(data["boxes"])
+        n_o = len(o["boxes"])
+        if max(n_e, n_o) == 0:
+            continue
+        assert abs(n_e - n_o) <= max(2, 0.3 * max(n_e, n_o)), (
+            f"trial {t}: engine {n_e} vs exact-reference {n_o} detections")
+        if n_e and n_o:
+            eb = np.asarray(data["boxes"])
+            ob = o["boxes"]
+            for i in range(n_e):
+                lt = np.maximum(eb[i, None, :2], ob[:, :2])
+                rb = np.minimum(eb[i, None, 2:], ob[:, 2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[:, 0] * wh[:, 1]
+                a1 = (eb[i, 2] - eb[i, 0]) * (eb[i, 3] - eb[i, 1])
+                a2 = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+                iou = inter / np.maximum(a1 + a2 - inter, 1e-6)
+                total += 1
+                if iou.max() >= 0.5:
+                    agree += 1
+    if total:
+        assert agree / total >= 0.7, f"only {agree}/{total} matched at IoU 0.5"

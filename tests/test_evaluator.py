@@ -173,3 +173,116 @@ def test_odgt_ground_truth(tmp_path):
     assert tp == 1 and fp == 0
     db = Database(str(gtp), str(dtp), visible_flag=True)
     assert db.gt_num == 2 and db.ign_num == 1
+
+
+# ---------------------------------------------------------------- modes 1/2
+def _joint_odgt(tmp_path):
+    """Two-image odgt gt with head boxes: img0 has two valid persons plus a
+    head-ignored person; img1 has an extra-ignored person."""
+    recs = [
+        {"ID": "img0", "width": 400, "height": 300, "gtboxes": [
+            {"tag": "person", "vbox": [10, 10, 60, 120],
+             "fbox": [10, 10, 60, 120], "hbox": [25, 10, 30, 30],
+             "extra": {}, "head_attr": {}},
+            {"tag": "person", "vbox": [200, 50, 50, 110],
+             "fbox": [200, 50, 50, 110], "hbox": [210, 50, 28, 28],
+             "extra": {}, "head_attr": {}},
+            {"tag": "person", "vbox": [300, 100, 40, 100],
+             "fbox": [300, 100, 40, 100], "hbox": [305, 100, 24, 24],
+             "extra": {}, "head_attr": {"ignore": 1}},
+        ]},
+        {"ID": "img1", "width": 400, "height": 300, "gtboxes": [
+            {"tag": "person", "vbox": [50, 50, 70, 140],
+             "fbox": [50, 50, 70, 140], "hbox": [70, 50, 32, 32],
+             "extra": {"ignore": 1}, "head_attr": {}},
+        ]},
+    ]
+    gtp = tmp_path / "joint.odgt"
+    gtp.write_text("\n".join(json.dumps(r) for r in recs))
+    return str(gtp)
+
+
+def _dt_json(tmp_path, per_image):
+    images, annots = [], []
+    did = 0
+    for iid, dets in per_image.items():
+        images.append({"id": iid, "width": 400, "height": 300,
+                       "file_name": f"{iid}.jpg"})
+        for d in dets:
+            d = dict(d, image_id=iid, id=did, category_id=1,
+                     iscrowd=False, area=1)
+            annots.append(d)
+            did += 1
+    p = tmp_path / "dt.json"
+    p.write_text(json.dumps(
+        {"images": images, "annotations": annots, "categories": []}))
+    return str(p)
+
+
+def test_mode1_head_boxes(tmp_path):
+    """Head-box eval: gt = hbox rows; head_attr.ignore makes an ignore
+    region that suppresses otherwise-unmatched detections by IoA."""
+    gtp = _joint_odgt(tmp_path)
+    dtp = _dt_json(tmp_path, {
+        "img0": [
+            # matches person-1 head
+            {"bbox": [26, 11, 30, 30], "hbox": [26, 11, 30, 30], "score": 0.9},
+            # inside the head-ignored person's hbox -> suppressed
+            {"bbox": [306, 101, 22, 22], "hbox": [306, 101, 22, 22],
+             "score": 0.8},
+            # plain FP
+            {"bbox": [100, 200, 25, 25], "hbox": [100, 200, 25, 25],
+             "score": 0.7},
+        ],
+        "img1": [],
+    })
+    ap, mr, recall, tp, fp = evaluate_predictions_on_crowdhuman(
+        gtp, dtp, mode=1, visible_flag=True)
+    assert (tp, fp) == (1, 1)
+    db = Database(gtp, dtp, mode=1, visible_flag=True)
+    # img0: 2 valid heads + 1 ignored; img1: extra-ignored -> head ignored
+    assert db.gt_num == 4 and db.ign_num == 2
+    assert recall == 1 / 2
+
+
+def test_mode2_joint_union_matching(tmp_path):
+    """Joint body+head Caltech-union matching: a detection is TP only when
+    BOTH boxes match the same gt above threshold; body-only overlap is FP;
+    detections landing on an extra-ignored gt body are dropped."""
+    gtp = _joint_odgt(tmp_path)
+    dtp = _dt_json(tmp_path, {
+        "img0": [
+            # body+head both match person-1 -> TP
+            {"bbox": [11, 11, 60, 120], "hbox": [26, 11, 30, 30],
+             "score": 0.9},
+            # body matches person-2 but head displaced -> FP
+            {"bbox": [201, 51, 50, 110], "hbox": [160, 50, 28, 28],
+             "score": 0.8},
+        ],
+        "img1": [
+            # body IoA with the extra-ignored gt -> dropped (not FP)
+            {"bbox": [55, 55, 60, 120], "hbox": [72, 52, 32, 32],
+             "score": 0.7},
+        ],
+    })
+    ap, mr, recall, tp, fp = evaluate_predictions_on_crowdhuman(
+        gtp, dtp, mode=2, visible_flag=True)
+    assert (tp, fp) == (1, 1)
+    db = Database(gtp, dtp, mode=2, visible_flag=True)
+    # joint tag: img0 persons 1,2 valid, person 3 head-ignored -> tag 0;
+    # img1 extra-ignored -> tag 0
+    assert db.gt_num == 4 and db.ign_num == 2
+
+
+def test_mode2_each_gt_matches_once(tmp_path):
+    """Union matching consumes a gt: the second detection on the same
+    person is an FP even with perfect overlap."""
+    gtp = _joint_odgt(tmp_path)
+    det = {"bbox": [10, 10, 60, 120], "hbox": [25, 10, 30, 30]}
+    dtp = _dt_json(tmp_path, {
+        "img0": [dict(det, score=0.9), dict(det, score=0.8)],
+        "img1": [],
+    })
+    _, _, _, tp, fp = evaluate_predictions_on_crowdhuman(
+        gtp, dtp, mode=2, visible_flag=True)
+    assert (tp, fp) == (1, 1)

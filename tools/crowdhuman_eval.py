@@ -24,10 +24,14 @@ def main():
     parser.add_argument("-o", "--output_path", type=str, default="./record.txt")
     parser.add_argument("-f", "--remove_empty_gt", action="store_true")
     parser.add_argument("-v", "--visible_flag", action="store_true")
+    parser.add_argument("-m", "--mode", type=int, default=0, choices=(0, 1, 2),
+                        help="0: body boxes; 1: head boxes (hbox); 2: joint "
+                             "body+head Caltech-union matching (extension "
+                             "flag; the reference hardwires mode 0)")
     args = parser.parse_args()
 
     eval_results = evaluate_predictions_on_crowdhuman(
-        args.gt_path, args.det_path,
+        args.gt_path, args.det_path, mode=args.mode,
         remove_empty_gt=args.remove_empty_gt, visible_flag=args.visible_flag,
     )
     metric_names = ["AP", "MR", "Recall", "tp", "fp"]
