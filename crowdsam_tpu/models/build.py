@@ -114,8 +114,14 @@ def init_sam_params(image_encoder, prompt_encoder, mask_decoder, seed: int = 0,
     )
     enc = fast_random_init(image_encoder, img, seed=seed)
     pts = (jnp.zeros((1, 1, 2), jnp.float32), jnp.ones((1, 1), jnp.int32))
-    pe = fast_random_init(prompt_encoder, seed=seed + 1, points=pts)
     h = image_encoder.img_size // image_encoder.patch_size
+    # Init with a mask prompt too so the mask_downscaling conv params exist
+    # (flax only creates params on traced paths; the converter always
+    # produces them, and the serving export exercises the mask path).
+    pe = fast_random_init(
+        prompt_encoder, seed=seed + 1, points=pts,
+        masks=jnp.zeros((1, 4 * h, 4 * h, 1), jnp.float32),
+    )
     if hq:
         dec = fast_random_init(
             mask_decoder,

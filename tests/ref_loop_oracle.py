@@ -301,7 +301,10 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
     empty = dict(num_consumed=consumed, iou=np.zeros(0), scores=np.zeros(0),
                  categories=np.zeros(0, np.int64), stability=np.zeros(0),
                  points=np.zeros((0, 2)), boxes=np.zeros((0, 4)),
-                 masks=np.zeros((0, in_h, in_w), bool), in_hw=(in_h, in_w))
+                 masks=np.zeros((0, in_h, in_w), bool), in_hw=(in_h, in_w),
+                 prenms=dict(iou=np.zeros(0), cat=np.zeros(0, np.int64),
+                             stab=np.zeros(0), box=np.zeros((0, 4)),
+                             pt=np.zeros((0, 2)), keep=np.zeros(0, bool)))
     if n == 0:
         return empty
     iou = np.asarray(dets["iou"])
@@ -313,6 +316,8 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
 
     # Box NMS over all detections (model.py:257-263).
     keep = np_nms(box, iou, cfg.box_nms_thresh)
+    prenms = dict(iou=iou.copy(), cat=cat.copy(), stab=stab.copy(),
+                  box=box.copy(), pt=pt.copy(), keep=keep.copy())
     if parity:
         # Engine survivor cap: top max_keep by score (engine.py:351-352).
         sc = np.where(keep, iou, -np.inf)
@@ -357,6 +362,7 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
             _upsample_logits(logits, S)[:, :in_h, :in_w] > cfg.mask_threshold)
         sel2 = np.arange(len(sel))
     if len(sel2) == 0:
+        empty["prenms"] = prenms
         return empty
     iou, cat, stab, box, pt, logits, changed = (
         a[sel2] for a in (iou, cat, stab, box, pt, logits, changed))
@@ -384,6 +390,7 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
 
     x0, y0 = crop_box[0], crop_box[1]
     return dict(
+        prenms=prenms,
         num_consumed=consumed,
         iou=iou,
         scores=scores,

@@ -36,13 +36,15 @@ def oracle_config(**overrides):
         "test.grid_size", "48",
         "test.max_prompts", "96",
         "test.points_per_batch", "8",
-        # exercise every filter: pred-IoU ON, stability ON (offset keeps the
-        # ratio informative for random weights), occupy pruning ON via a low
-        # filter_thresh
-        "test.pred_iou_thresh", "0.05",
-        "test.stability_score_thresh", "0.3",
-        "test.stability_score_offset", "0.5",
-        "test.filter_thresh", "0.2",
+        # exercise every filter with the amplified random model (see the
+        # `model` fixture): pred-IoU, stability, and occupy pruning are all
+        # partially active at these values (probed distributions:
+        # iou_fused 0.005-0.014, stability spread around 0.45, mask logits
+        # ±20 with pairwise IoU ~0.55 so box NMS keeps several survivors)
+        "test.pred_iou_thresh", "0.008",
+        "test.stability_score_thresh", "0.42",
+        "test.stability_score_offset", "8.0",
+        "test.filter_thresh", "0.010",
         "test.pos_sim_thresh", "0.3",
         "tpu.compute_dtype", "float32",
         # the engine's unfused path calls the same decoder module the
@@ -69,20 +71,60 @@ def _structured_image(rng, h, w):
 
 @pytest.fixture(scope="module")
 def model():
-    return CrowdSAM(oracle_config())
+    """Tiny CrowdSAM with targeted weight amplification so random-weight
+    masks are partial, prompt-dependent, and varied: the prompt encoder's
+    Fourier matrix and point embeddings x8 (decorrelates prompts), the
+    hypernetwork output layers x6 and the final upscale conv x8 (spreads
+    mask logits to ~±20 without touching the token/iou/cls paths, which
+    keeps cross-compile numerics tight), and the mask threshold moved into
+    the logit spread.  At default scale every prompt decodes to a nearly
+    identical low-amplitude mask and the loop degenerates to one
+    detection; amplifying EVERYTHING instead makes the PWD pooling softmax
+    a hard max over huge logits, which is numerically chaotic across
+    compile contexts."""
+    import dataclasses
+
+    import jax
+    from flax import traverse_util as tu
+
+    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+
+    def _amp(params, rules):
+        flat = tu.flatten_dict(params, sep="/")
+        for k in list(flat):
+            for pat, f in rules:
+                if pat in k:
+                    flat[k] = flat[k] * f
+        return tu.unflatten_dict(
+            {tuple(k.split("/")): v for k, v in flat.items()})
+
+    m = CrowdSAM(oracle_config())
+    m.sam.params["prompt_encoder"] = _amp(
+        m.sam.params["prompt_encoder"],
+        [("pe_gaussian", 8.0), ("point_embeddings", 8.0)])
+    m.sam.params["mask_decoder"] = _amp(
+        m.sam.params["mask_decoder"],
+        [("hyper_mlps", 6.0), ("upscale_3", 8.0)])
+    m.engine_cfg = dataclasses.replace(m.engine_cfg, mask_threshold=3.0)
+    m.engine = make_eps_engine(
+        m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
+        spec_with_masks=m.output_rles)
+    m._survivor_pass = make_survivor_pass(m.engine_cfg, with_masks=m.output_rles)
+    return m
 
 
 def _run_engine(model, image):
     """Single-crop generate via the dispatch/finalize pair so we can also
-    read the engine's consumed-prompt counter."""
+    read the engine's consumed-prompt counter and pre-NMS summary."""
     img = np.asarray(image, np.uint8)
     crop_box = [0, 0, img.shape[1], img.shape[0]]
     key0 = model._key
     res, meta = model._dispatch_crop(img, crop_box)
     consumed = int(np.asarray(res["num_consumed"]))
+    summary = np.asarray(res["summary"])
     data = model._finalize_crop(res, meta)
     sub = jax.random.split(key0)[1]
-    return data, consumed, sub
+    return data, consumed, sub, summary
 
 
 def _sorted(dets_scores):
@@ -94,12 +136,43 @@ def test_engine_matches_reference_loop_oracle(model, rng):
     mismatches = []
     for t in range(3):
         image = _structured_image(rng, 160 + 16 * t, 256)
-        data, consumed, sub = _run_engine(model, image)
+        data, consumed, sub, summary = _run_engine(model, image)
         o = oracle_generate(model, image, sub, mode="parity")
 
         assert consumed == o["num_consumed"], (
             f"trial {t}: engine consumed {consumed} prompts, "
             f"oracle {o['num_consumed']} — batch/occupy semantics diverge")
+
+        # --- pre-NMS detection set: every prompt that passed the batch
+        # filters must agree row-for-row (iou/category/stability/low-res
+        # box/point), plus its NMS survival flag.  The engine summary keeps
+        # finite iou for all filter-passing rows (engine.py:334,440-455).
+        pre = summary[summary[:, 1] > -1e30]
+        p = o["prenms"]
+        assert len(pre) == len(p["iou"]), (
+            f"trial {t}: engine pre-NMS {len(pre)} rows, oracle "
+            f"{len(p['iou'])} — filter semantics diverge")
+        if len(pre):
+            ei_p = np.lexsort((pre[:, 1], pre[:, 11], pre[:, 10]))
+            oi_p = np.lexsort((p["iou"], p["pt"][:, 1], p["pt"][:, 0]))
+            np.testing.assert_allclose(
+                pre[ei_p][:, 10:12], p["pt"][oi_p], atol=1e-3,
+                err_msg=f"trial {t}: pre-NMS points")
+            np.testing.assert_allclose(
+                pre[ei_p][:, 1], p["iou"][oi_p], atol=2e-4,
+                err_msg=f"trial {t}: pre-NMS iou")
+            np.testing.assert_array_equal(
+                pre[ei_p][:, 3].astype(int), p["cat"][oi_p],
+                err_msg=f"trial {t}: pre-NMS categories")
+            np.testing.assert_allclose(
+                pre[ei_p][:, 4], p["stab"][oi_p], atol=1e-4,
+                err_msg=f"trial {t}: pre-NMS stability")
+            np.testing.assert_allclose(
+                pre[ei_p][:, 6:10], p["box"][oi_p], atol=0.01,
+                err_msg=f"trial {t}: pre-NMS low-res boxes")
+            np.testing.assert_array_equal(
+                pre[ei_p][:, 0] > 0.5, p["keep"][oi_p],
+                err_msg=f"trial {t}: NMS keep flags")
 
         n_e = 0 if data is None else len(data["boxes"])
         n_o = len(o["boxes"])
@@ -149,7 +222,7 @@ def test_occupy_and_resolution_deviation_bound(model, rng):
     agree, total = 0, 0
     for t in range(2):
         image = _structured_image(rng, 192, 256)
-        data, consumed, sub = _run_engine(model, image)
+        data, consumed, sub, _summary = _run_engine(model, image)
         o = oracle_generate(model, image, sub, mode="exact")
         n_e = 0 if data is None else len(data["boxes"])
         n_o = len(o["boxes"])
