@@ -32,7 +32,15 @@ class ShardedPipeline:
     programs on one device.
     """
 
-    def __init__(self, model, mesh=None, batch: int = 4):
+    def __init__(self, model, mesh=None, batch: int = 4,
+                 spatial_axis: Optional[str] = None):
+        """`spatial_axis`: optional second mesh axis name (e.g. 'model') to
+        shard the encode's image-height dimension over — the model axis's
+        inference role.  Within one data-parallel group the dual-backbone
+        ViT encode partitions spatially (XLA inserts halo exchanges /
+        collectives over ICI for the conv patch embed, windowed attention,
+        and resizes), cutting single-image encode latency; the decode
+        engine stays per-image.  None keeps pure data parallelism."""
         assert model.crop_n_layers == 0, "batched path requires crop_n_layers=0"
         assert not model.train_free, "batched path requires the trained arch"
         self.model = model
@@ -128,9 +136,14 @@ class ShardedPipeline:
             def dshard(ndim):
                 return NamedSharding(mesh, P("data", *[None] * (ndim - 1)))
 
+            img_spec = (
+                NamedSharding(mesh, P("data", spatial_axis, None, None))
+                if spatial_axis
+                else dshard(4)
+            )
             self._encode_b = jax.jit(
                 encode_b,
-                in_shardings=(repl, repl, dshard(4), dshard(2)),
+                in_shardings=(repl, repl, img_spec, dshard(2)),
             )
             self._engine_b = jax.jit(engine_b)
             self._survivor_b = jax.jit(survivor_b)
