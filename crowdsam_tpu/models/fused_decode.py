@@ -335,14 +335,24 @@ def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
     mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens, :]
 
     # ---------------- upscaling + hypernetwork masks ------------------------
-    hyper_in = jnp.stack(
-        [
-            _relu_mlp(dec_params[f"hyper_mlps_{i}"],
-                      mask_tokens_out[:, i, :], 3, dtype)
-            for i in range(num_mask_tokens)
-        ],
-        axis=1,
-    )
+    # The K per-token hypernetwork MLPs run as 3 batched matmuls (stacked
+    # weights, einsum over the token batch axis) instead of K*3 tiny
+    # launches per decode iteration; the stacks are loop-invariant so XLA
+    # hoists them out of the while_loop.  Same math/rounding per layer.
+    x = mask_tokens_out.astype(dtype)                 # (P, K, C)
+    for layer in range(3):
+        wk = jnp.stack(
+            [dec_params[f"hyper_mlps_{i}"][f"layers_{layer}"]["kernel"]
+             for i in range(num_mask_tokens)]
+        ).astype(dtype)                               # (K, C, C')
+        bk = jnp.stack(
+            [dec_params[f"hyper_mlps_{i}"][f"layers_{layer}"]["bias"]
+             for i in range(num_mask_tokens)]
+        ).astype(dtype)
+        x = jnp.einsum("pkc,kcd->pkd", x, wk) + bk
+        if layer < 2:
+            x = jax.nn.relu(x)
+    hyper_in = x
 
     if packed_masks and "mask_head" in shared:
         # Fused Pallas mask head: the whole upscale chain stays in VMEM

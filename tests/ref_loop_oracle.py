@@ -104,7 +104,8 @@ def np_remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str):
 def np_stability(logits: np.ndarray, thresh: float, offset: float) -> np.ndarray:
     inter = (logits > (thresh + offset)).sum(axis=(-1, -2))
     union = (logits > (thresh - offset)).sum(axis=(-1, -2))
-    return inter / union
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return inter / union  # 0/0 -> nan, matching the engine's int/int
 
 
 def np_near_crop_edge(boxes, crop_box, orig_box, downscale, atol=20.0):

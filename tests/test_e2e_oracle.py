@@ -38,11 +38,11 @@ def oracle_config(**overrides):
         "test.points_per_batch", "8",
         # exercise every filter with the amplified random model (see the
         # `model` fixture): pred-IoU, stability, and occupy pruning are all
-        # partially active at these values (probed distributions:
-        # iou_fused 0.005-0.014, stability spread around 0.45, mask logits
-        # ±20 with pairwise IoU ~0.55 so box NMS keeps several survivors)
-        "test.pred_iou_thresh", "0.008",
-        "test.stability_score_thresh", "0.42",
+        # partially active at these values (probed: pre-NMS survivors
+        # 37-70 of 96 consumed, final detections 8/2/13 across the three
+        # trials — multi-survivor NMS)
+        "test.pred_iou_thresh", "0.004",
+        "test.stability_score_thresh", "0.03",
         "test.stability_score_offset", "8.0",
         "test.filter_thresh", "0.010",
         "test.pos_sim_thresh", "0.3",
@@ -105,7 +105,7 @@ def model():
     m.sam.params["mask_decoder"] = _amp(
         m.sam.params["mask_decoder"],
         [("hyper_mlps", 6.0), ("upscale_3", 8.0)])
-    m.engine_cfg = dataclasses.replace(m.engine_cfg, mask_threshold=3.0)
+    m.engine_cfg = dataclasses.replace(m.engine_cfg, mask_threshold=28.0)
     m.engine = make_eps_engine(
         m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
         spec_with_masks=m.output_rles)
@@ -134,6 +134,7 @@ def _sorted(dets_scores):
 @pytest.mark.slow
 def test_engine_matches_reference_loop_oracle(model, rng):
     mismatches = []
+    total_pre, max_final = 0, 0
     for t in range(3):
         image = _structured_image(rng, 160 + 16 * t, 256)
         data, consumed, sub, summary = _run_engine(model, image)
@@ -178,6 +179,8 @@ def test_engine_matches_reference_loop_oracle(model, rng):
         n_o = len(o["boxes"])
         assert n_e == n_o, (
             f"trial {t}: engine produced {n_e} detections, oracle {n_o}")
+        total_pre += len(pre)
+        max_final = max(max_final, n_e)
         if n_e == 0:
             continue
 
@@ -211,38 +214,152 @@ def test_engine_matches_reference_loop_oracle(model, rng):
             if iou < 0.999:
                 mismatches.append((t, k, iou))
     assert not mismatches, f"mask mismatches: {mismatches}"
+    # Non-vacuity: the tuned regime must actually exercise the loop — many
+    # filter-passing prompts and a multi-detection NMS outcome.
+    assert total_pre >= 30, f"only {total_pre} pre-NMS rows across trials"
+    assert max_final >= 3, f"max final detections {max_final} — NMS never " \
+                           "kept multiple survivors"
+
+
+@pytest.fixture(scope="module")
+def bound_model():
+    """Variant model for the deviation-bound test: the same amplification
+    but a LOWER mask threshold (smooth, larger masks — random-weight masks
+    at a high threshold are knife-edge pointy, so the stability score
+    computed at image resolution collapses to ~0 while the low-res one
+    doesn't; real-weight masks are flat-topped and don't have that
+    artifact) and the stability/pred-IoU filters off, so the bound
+    isolates the deviations it targets: the 256^2 occupy bitmap vs
+    image-coordinate occupy, and low-res vs full-res NMS boxes."""
+    import dataclasses
+
+    import jax
+    from flax import traverse_util as tu
+
+    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+
+    def _amp(params, rules):
+        flat = tu.flatten_dict(params, sep="/")
+        for k in list(flat):
+            for pat, f in rules:
+                if pat in k:
+                    flat[k] = flat[k] * f
+        return tu.unflatten_dict(
+            {tuple(k.split("/")): v for k, v in flat.items()})
+
+    m = CrowdSAM(oracle_config(**{
+        "test.pred_iou_thresh": "0.0",
+        "test.stability_score_thresh": "0.0",
+    }))
+    m.sam.params["prompt_encoder"] = _amp(
+        m.sam.params["prompt_encoder"],
+        [("pe_gaussian", 8.0), ("point_embeddings", 8.0)])
+    m.sam.params["mask_decoder"] = _amp(
+        m.sam.params["mask_decoder"],
+        [("hyper_mlps", 6.0), ("upscale_3", 8.0)])
+    m.engine_cfg = dataclasses.replace(m.engine_cfg, mask_threshold=20.0)
+    m.engine = make_eps_engine(
+        m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
+        spec_with_masks=m.output_rles)
+    m._survivor_pass = make_survivor_pass(m.engine_cfg, with_masks=m.output_rles)
+    return m
 
 
 @pytest.mark.slow
-def test_occupy_and_resolution_deviation_bound(model, rng):
-    """Bound the documented deviations (PARITY.md: 256^2 occupy bitmap,
-    low-res-mask filtering/NMS) against full reference semantics: the
-    exact-mode oracle must agree with the engine on detection count within
-    30% and match >=70% of detections at IoU>=0.5."""
-    agree, total = 0, 0
+def test_occupy_quantization_bound(bound_model, rng):
+    """Bound the 256^2 occupy-bitmap deviation (PARITY.md #6) against full
+    reference semantics (image-coordinate occupy over full-res masks):
+    prompt consumption must agree within 10%.  Detection-level agreement
+    is NOT asserted here — random-weight mask logits are knife-edge
+    pointy, so binarize-before vs binarize-after the 4x upsample collapses
+    masks by orders of magnitude (measured: a half-frame low-res mask
+    becomes 45 px at image res), an artifact real flat-topped SAM masks do
+    not have; the resolution deviation is bounded on realistic mask
+    shapes by test_resolution_deviation_bound_on_blobs below."""
+    model = bound_model
     for t in range(2):
-        image = _structured_image(rng, 192, 256)
+        # Square images: no bottom pad (PARITY.md deviation #7 otherwise
+        # dominates in this synthetic regime).
+        image = _structured_image(rng, 256, 256)
         data, consumed, sub, _summary = _run_engine(model, image)
         o = oracle_generate(model, image, sub, mode="exact")
-        n_e = 0 if data is None else len(data["boxes"])
-        n_o = len(o["boxes"])
-        if max(n_e, n_o) == 0:
-            continue
-        assert abs(n_e - n_o) <= max(2, 0.3 * max(n_e, n_o)), (
-            f"trial {t}: engine {n_e} vs exact-reference {n_o} detections")
-        if n_e and n_o:
-            eb = np.asarray(data["boxes"])
-            ob = o["boxes"]
-            for i in range(n_e):
-                lt = np.maximum(eb[i, None, :2], ob[:, :2])
-                rb = np.minimum(eb[i, None, 2:], ob[:, 2:])
-                wh = np.clip(rb - lt, 0, None)
-                inter = wh[:, 0] * wh[:, 1]
-                a1 = (eb[i, 2] - eb[i, 0]) * (eb[i, 3] - eb[i, 1])
-                a2 = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
-                iou = inter / np.maximum(a1 + a2 - inter, 1e-6)
-                total += 1
-                if iou.max() >= 0.5:
-                    agree += 1
-    if total:
-        assert agree / total >= 0.7, f"only {agree}/{total} matched at IoU 0.5"
+        assert abs(consumed - o["num_consumed"]) <= max(
+            8, 0.1 * max(consumed, o["num_consumed"])), (
+            f"trial {t}: consumed {consumed} vs exact {o['num_consumed']}")
+
+
+def test_resolution_deviation_bound_on_blobs(rng):
+    """Bound the low-res-cleanup deviation (PARITY.md #1/#3) on realistic
+    flat-topped blob masks: the engine's survivor pass (256^2 cleanup with
+    the rescaled threshold + nearest-upsampled corrections) must agree
+    with exact reference semantics (binarize the upsampled logits, cv2-
+    style cleanup at image resolution with the unscaled threshold) to
+    mask IoU >= 0.98 and box error <= 4 px — except for features whose
+    area falls within the quantization band around the threshold, which
+    are constructed and asserted separately."""
+    import jax.numpy as jnp
+
+    from ref_loop_oracle import np_mask_to_box, np_remove_small_regions
+    from crowdsam_tpu.pipeline.engine import EngineConfig, make_survivor_pass
+
+    cfg = EngineConfig(img_size=1024, low_res=256, min_mask_region_area=100.0)
+    sp = make_survivor_pass(cfg, with_masks=True)
+    in_h, in_w = 1024, 1024
+
+    k = 8
+    logits = np.full((k, 256, 256), -8.0, np.float32)
+    for i in range(k):
+        cy, cx = rng.integers(40, 200, 2)
+        ry, rx = rng.integers(15, 50, 2)
+        yy, xx = np.mgrid[0:256, 0:256]
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        logits[i][blob] = 8.0
+        # island well below threshold (removed at both resolutions:
+        # 2x2 low-res = 64 px full-res < 100)
+        logits[i, 220:222, 220:222] = 8.0
+        # island well above threshold (kept at both: 4x4 = 256 px > 100)
+        logits[i, 10:14, 10:14] = 8.0
+        # hole well below threshold (filled at both)
+        logits[i, cy - 1 : cy + 1, cx - 1 : cx + 1] = -8.0
+
+    out = sp(jnp.asarray(logits), jnp.int32(k),
+             jnp.asarray((in_h, in_w), jnp.int32))
+    engine_full = np.unpackbits(np.asarray(out["packed"]), axis=-1).astype(bool)
+    summary = np.asarray(out["summary"])
+
+    up = np.asarray(jax.image.resize(
+        jnp.asarray(logits), (k, in_h, in_w), "linear", antialias=False))
+    for i in range(k):
+        m = up[i] > cfg.mask_threshold
+        m, _ = np_remove_small_regions(m, cfg.min_mask_region_area, "holes")
+        m, _ = np_remove_small_regions(m, cfg.min_mask_region_area, "islands")
+        inter = (engine_full[i] & m).sum()
+        union = (engine_full[i] | m).sum()
+        assert union > 0
+        iou = inter / union
+        assert iou >= 0.98, f"mask {i}: engine-vs-exact IoU {iou:.4f}"
+        eb = summary[i, 6:10]
+        ob = np_mask_to_box(m[None])[0]
+        assert np.abs(eb - ob).max() <= 4.0, (
+            f"mask {i}: box {eb} vs exact {ob}")
+
+    # Quantization band: a 6-px island at low res (~96 px full-res after
+    # bilinear) sits inside the band [~88, ~113] where the two resolutions
+    # may legitimately disagree — assert both verdicts stay within the
+    # documented bound (removed or kept, never corrupted).
+    band = np.full((1, 256, 256), -8.0, np.float32)
+    band[0, 100:140, 100:140] = 8.0
+    band[0, 200:203, 200:202] = 8.0  # 6 low-res px
+    outb = sp(jnp.asarray(np.repeat(band, k, 0)), jnp.int32(1),
+              jnp.asarray((in_h, in_w), jnp.int32))
+    eng = np.unpackbits(np.asarray(outb["packed"]), axis=-1).astype(bool)[0]
+    upb = np.asarray(jax.image.resize(
+        jnp.asarray(band), (1, in_h, in_w), "linear", antialias=False))[0]
+    mb = upb > cfg.mask_threshold
+    mb, _ = np_remove_small_regions(mb, cfg.min_mask_region_area, "holes")
+    mb, _ = np_remove_small_regions(mb, cfg.min_mask_region_area, "islands")
+    # main blob identical either way
+    assert (eng[400:560, 400:560] == mb[400:560, 400:560]).all()
+    # the band island differs by at most its own area
+    diff = (eng != mb).sum()
+    assert diff <= 16 * 16 * 6, f"quantization-band disagreement {diff} px"
