@@ -201,3 +201,23 @@ def encode_changes_coco(changes: np.ndarray, total: int,
                     "counts": out[:ln].tobytes().decode("utf-8")}
     return {"size": [int(h), int(w)],
             "counts": _compress_counts_py([int(c) for c in counts])}
+
+
+def svals_from_cand(cand: "np.ndarray", n_col: "np.ndarray",
+                    in_h: int) -> "np.ndarray":
+    """Flatten the survivor kernel's per-column change candidates into the
+    sorted Fortran-order change-position list `encode_changes_coco` takes.
+
+    cand: (slots, S) int — first `slots` change rows per column; n_col:
+    (S,) int counts (<= slots for non-overflow masks; overflow masks are
+    routed to the packed-bitmap fallback before reaching here).
+    """
+    import numpy as np
+
+    cols = np.nonzero(n_col)[0]
+    reps = n_col[cols].astype(np.int64)
+    col_rep = np.repeat(cols, reps)
+    starts = np.cumsum(reps) - reps
+    slot = np.arange(len(col_rep), dtype=np.int64) - np.repeat(starts, reps)
+    rows = cand[slot, col_rep]
+    return col_rep * in_h + rows

@@ -466,6 +466,8 @@ class CrowdSAM:
             sp = {
                 "summary": res["spec_summary"],
                 "rle_svals": res.get("spec_svals"),
+                "rle_cand": res.get("spec_cand"),
+                "rle_ncol": res.get("spec_ncol"),
                 "packed": res.get("spec_packed"),
             }
             sp_summary = np.asarray(sp["summary"])[:n]
@@ -519,10 +521,21 @@ class CrowdSAM:
             # more changes than the slot budget fall back to the bit-packed
             # bitmap (rare: noise-like masks).
             nch = sp_summary[sel, 10].astype(np.int64)
-            svals = np.asarray(sp["rle_svals"])[sel]
             total = in_h * in_w
+            if sp.get("rle_cand") is not None:
+                # Survivor-kernel path: compact per-column candidate table
+                # + counts; build each change list on host (svals_from_cand).
+                cand = np.asarray(sp["rle_cand"])[sel]
+                ncol = np.asarray(sp["rle_ncol"])[sel]
+                maxc = self.engine_cfg.max_rle_changes
+                sval_of = lambda i: rle_ops.svals_from_cand(
+                    cand[i], ncol[i], in_h)
+                overflow = np.nonzero(nch > maxc)[0]
+            else:
+                svals = np.asarray(sp["rle_svals"])[sel]
+                sval_of = lambda i: svals[i, : nch[i]]
+                overflow = np.nonzero(nch > svals.shape[1])[0]
             rles = []
-            overflow = np.nonzero(nch > svals.shape[1])[0]
             if len(overflow):
                 packed = np.asarray(sp["packed"])[sel[overflow]]
                 full_ov = np.unpackbits(packed, axis=-1)[
@@ -537,7 +550,7 @@ class CrowdSAM:
                     rles.append(ov_map[i])
                 else:
                     rles.append(rle_ops.encode_changes_coco(
-                        svals[i, : nch[i]], total, (in_h, in_w)
+                        sval_of(i), total, (in_h, in_w)
                     ))
             data["rles"] = rles
             fr_boxes = sp_summary[sel, 6:10]

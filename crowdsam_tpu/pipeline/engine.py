@@ -431,7 +431,11 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
             spec = jax.lax.cond(n_keep <= spec_n, inner, zeros_fn)
             out["spec_summary"] = spec["summary"]
             if spec_with_masks:
-                out["spec_svals"] = spec["rle_svals"]
+                if "rle_cand" in spec:  # survivor-kernel path
+                    out["spec_cand"] = spec["rle_cand"]
+                    out["spec_ncol"] = spec["rle_ncol"]
+                else:
+                    out["spec_svals"] = spec["rle_svals"]
                 out["spec_packed"] = spec["packed"]
 
         # Pack per-detection scalars into one array so the host needs a
@@ -522,6 +526,68 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
             changed = jnp.zeros((k,), dtype=bool)
 
         out = {}
+        from crowdsam_tpu.ops.survivor_kernel import (
+            survivor_kernel_enabled,
+            survivor_rle_pallas,
+        )
+
+        use_kernel = (
+            with_masks
+            and not fullres
+            and s_img == 4 * logits.shape[-1]
+            and survivor_kernel_enabled()
+        )
+        if use_kernel:
+            # Fused Pallas survivor tail (ops/survivor_kernel.py): upsample
+            # + cleanup edits + valid crop + bit-pack + boxes + Fortran
+            # change candidates per mask in VMEM — replaces the XLA chain
+            # below whose full-res intermediates cost ~1.27 ms/slot at
+            # crowded buckets (change extraction alone ~0.86).
+            in_h, in_w = in_hw[0], in_hw[1]
+            if cfg.min_mask_region_area > 0:
+                edit = (
+                    ((~binm) & m2).astype(jnp.int8)
+                    - (binm & ~m2).astype(jnp.int8)
+                )
+            else:
+                edit = jnp.zeros(logits.shape, jnp.int8)
+            # Force invalid slots empty (the XLA path masks binm by
+            # `valid`; the kernel sees raw logits).
+            edit = jnp.where(valid[:, None, None], edit, jnp.int8(-1))
+            ko = survivor_rle_pallas(
+                logits, edit, in_hw, thresh=cfg.mask_threshold
+            )
+            out["packed"] = ko["packed"]
+            ksum = ko["summary"]
+            fr_boxes = ksum[:, :4].astype(jnp.float32)
+            nonempty = ksum[:, 4] > 0
+            total = ksum[:, 5]
+            overflow_cols = ksum[:, 6] > 0
+
+            # NO device-side compaction: the searchsorted/gather scheme the
+            # XLA path uses to flatten per-column candidates into a svals
+            # slab costs ~0.9 ms/slot (the survivor pass's real hot spot —
+            # the kernel's own work is 0.05 ms/slot).  Ship the compact
+            # (slots, S) candidate table + per-column counts instead; the
+            # host builds the change list with two np.repeat's
+            # (`svals_from_cand`), microseconds per mask.
+            out["rle_cand"] = ko["cand"]                 # (k, S_slots, S)
+            out["rle_ncol"] = ko["n_col"]                # (k, S)
+            n_changes = jnp.where(
+                overflow_cols, jnp.int32(maxc + 1), total
+            ).astype(jnp.int32)
+            out["summary"] = jnp.concatenate(
+                [
+                    keep[:, None].astype(jnp.float32),
+                    changed[:, None].astype(jnp.float32),
+                    new_boxes,
+                    fr_boxes,
+                    n_changes[:, None].astype(jnp.float32),
+                    nonempty[:, None].astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            return out
         if with_masks:
             in_h, in_w = in_hw[0], in_hw[1]
             x = jax.image.resize(
@@ -573,10 +639,17 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
             )[..., 0]                                   # (k, x)
             prev = jnp.pad(mt[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
             col0_prev = jnp.pad(last[:, :-1], ((0, 0), (1, 0)))
-            first_col = jax.lax.broadcasted_iota(
+            # In mt's (x, y) layout a column START is y == 0, i.e. the
+            # iota over the minor axis — NOT transposed.  (A previous
+            # revision applied the fix to x == 0, which both corrupted
+            # column 0's change counts — usually self-healing through the
+            # overflow->packed fallback — and dropped the Fortran column
+            # link whenever a column's mask ran to the bottom edge; the
+            # survivor kernel's numpy-validated counts exposed it.)
+            first_el = jax.lax.broadcasted_iota(
                 jnp.int32, (s_img, s_img), 1
             ) == 0
-            prev = jnp.where(first_col.T[None], col0_prev[:, :, None], prev)
+            prev = jnp.where(first_el[None], col0_prev[:, :, None], prev)
             tvalid = (xs.T < in_w)[None] & (ys.T < in_h)[None]
             change = tvalid & (mt != prev)
 
@@ -655,7 +728,13 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
       summary (K, 12) f32: [keep, changed, lowres_box(4), fullres_box(4),
                             n_changes, nonempty]
       packed (K, S, S//8) uint8 — fallback when n_changes > max_rle_changes
-      rle_svals (K, max_rle_changes) int32 — column-major change positions.
+      and, depending on path:
+      - survivor-kernel path (TPU): rle_cand (K, 8, S) + rle_ncol (K, S)
+        int32 — per-column change rows/counts, flattened on host with
+        `ops.rle.svals_from_cand` (device-side compaction costs ~0.9
+        ms/slot; the host flatten is microseconds);
+      - XLA path: rle_svals (K, max_rle_changes) int32 — column-major
+        change positions.
     One compiled program per bucket size.
     """
     return jax.jit(_survivor_core(cfg, with_masks))

@@ -184,3 +184,48 @@ def test_survivor_device_tail():
     np.testing.assert_array_equal(dec, full[0, :in_h, :in_w])
     # Empty (invalid) rows: no changes.
     assert (summary[1:, 10] == 0).all()
+
+
+def test_survivor_rle_bottom_edge_column_link():
+    """Regression: a mask whose columns run to the bottom edge of the
+    valid region must produce correct Fortran-order RLE — each next
+    column's first element compares against the PREVIOUS column's last
+    valid element (amg.py:107-135 flatten order='F' semantics).  A prior
+    revision applied the column-start fix to the wrong axis, dropping
+    these transitions (and corrupting column 0's counts)."""
+    import jax.numpy as jnp
+
+    from crowdsam_tpu.ops import rle as rle_ops
+    from crowdsam_tpu.pipeline.engine import EngineConfig, make_survivor_pass
+
+    cfg = EngineConfig(img_size=1024, low_res=256, min_mask_region_area=0.0)
+    sp = make_survivor_pass(cfg, with_masks=True)
+    in_h, in_w = 700, 1024
+
+    logits = np.full((8, 256, 256), -10.0, np.float32)
+    # Block running to the bottom of the valid region (rows 60..175 at low
+    # res -> 240..700 full res) across columns 50..80, PLUS a touch of
+    # column 0.
+    logits[0, 60:175, 50:80] = 10.0
+    logits[0, 30:40, 0:3] = 10.0
+
+    out = sp(jnp.asarray(logits), jnp.int32(1),
+             jnp.asarray((in_h, in_w), jnp.int32))
+    summary = np.asarray(out["summary"])
+    full = np.unpackbits(np.asarray(out["packed"]), axis=-1).astype(bool)
+    nch = int(summary[0, 10])
+    assert 0 < nch <= cfg.max_rle_changes, nch
+
+    # Numpy oracle: true Fortran change positions of the valid region.
+    ref = full[0, :in_h, :in_w]
+    flat = ref.flatten(order="F")
+    chg = np.nonzero(np.diff(np.concatenate([[0], flat.astype(np.int8)]))
+                     != 0)[0]
+    assert nch == len(chg)
+
+    svals = np.asarray(out["rle_svals"])[0, :nch]
+    np.testing.assert_array_equal(np.sort(svals), chg)
+
+    rle = rle_ops.encode_changes_coco(svals, in_h * in_w, (in_h, in_w))
+    dec = rle_ops.coco_decode_rle(rle).astype(bool)
+    np.testing.assert_array_equal(dec, ref)

@@ -107,7 +107,7 @@ def main():
     t0 = time.time()
     for i in range(n):
         packed = np.asarray(sp["packed"])
-        svals = np.asarray(sp["rle_svals"])
+        svals = np.asarray(sp.get("rle_svals", sp.get("rle_cand")))
         spsum = np.asarray(sp["summary"])
     print(f"{'survivor transfers':<36}{(time.time()-t0)/n*1000:>9.1f} ms/call")
 
