@@ -144,8 +144,10 @@ def _up_nearest(b: np.ndarray, size: int) -> np.ndarray:
 
 
 # -------------------------------------------------------------------- oracle
-def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
-    """Run the reference-shaped dynamic loop on `model`'s weights/encodes.
+def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity",
+                    crop_box=None):
+    """Run the reference-shaped dynamic loop on `model`'s weights/encodes
+    for ONE crop (reference `_process_crop`, model.py:192-306).
 
     Returns dict(num_consumed, iou, scores, categories, stability, points,
     boxes (uncropped image-frame), masks (final full-res bool at
@@ -157,7 +159,8 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
     cfg = model.engine_cfg
     img = np.asarray(image, np.uint8)
     orig_h, orig_w = img.shape[:2]
-    crop_box = [0, 0, orig_w, orig_h]
+    if crop_box is None:
+        crop_box = [0, 0, orig_w, orig_h]
 
     # Shared encode (covered by module parity tests; not under test here).
     model.crop_image(img, crop_box)
@@ -402,3 +405,51 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity"):
         masks=full,
         in_hw=(in_h, in_w),
     )
+
+
+def oracle_generate_multicrop(model, image: np.ndarray, key0,
+                              mode: str = "parity"):
+    """Reference `_generate_masks` semantics (model.py:151-190): per-crop
+    loops + the cross-crop NMS preferring smaller crops (scores =
+    1/crop_area, model.py:167-177; ties index-stable), `crop_boxes`
+    dropped afterwards.  `key0` is model._key BEFORE generate (the
+    pipeline splits one subkey per crop in crop order)."""
+    from crowdsam_tpu.ops.amg import generate_crop_boxes
+
+    img = np.asarray(image, np.uint8)
+    crop_boxes, _ = generate_crop_boxes(
+        img.shape[:2], model.crop_n_layers, model.crop_overlap_ratio)
+
+    per_crop = []
+    key = key0
+    for cb in crop_boxes:
+        key, sub = jax.random.split(key)
+        per_crop.append((cb, oracle_generate(model, img, sub, mode=mode,
+                                             crop_box=list(cb))))
+
+    fields = ["iou", "scores", "categories", "stability", "points", "boxes"]
+    cat = {f: np.concatenate([o[f] for _, o in per_crop]) for f in fields}
+    cat["crop_boxes"] = np.concatenate(
+        [np.tile(np.asarray(cb, np.float64), (len(o["boxes"]), 1))
+         for cb, o in per_crop])
+    cat["masks"] = [m for _, o in per_crop for m in o["masks"]]
+    cat["in_hw"] = [o["in_hw"] for cb, o in per_crop
+                    for _ in range(len(o["boxes"]))]
+
+    if len(crop_boxes) > 1 and len(cat["boxes"]):
+        areas = ((cat["crop_boxes"][:, 2] - cat["crop_boxes"][:, 0])
+                 * (cat["crop_boxes"][:, 3] - cat["crop_boxes"][:, 1]))
+        scores = (1.0 / areas).astype(np.float32)
+        keep = np_nms(cat["boxes"].astype(np.float32), scores,
+                      model.crop_nms_thresh)
+        # torchvision batched_nms returns indices score-descending; the
+        # pipeline's data.filter(nms_indices(...)) REORDERS accordingly.
+        idx = np.nonzero(keep)[0]
+        idx = idx[np.argsort(-scores[idx], kind="stable")]
+        for f in fields + ["crop_boxes"]:
+            cat[f] = cat[f][idx]
+        cat["masks"] = [cat["masks"][i] for i in idx]
+        cat["in_hw"] = [cat["in_hw"][i] for i in idx]
+        del cat["crop_boxes"]
+    cat["n_crops"] = len(crop_boxes)
+    return cat

@@ -363,3 +363,69 @@ def test_resolution_deviation_bound_on_blobs(rng):
     # the band island differs by at most its own area
     diff = (eng != mb).sum()
     assert diff <= 16 * 16 * 6, f"quantization-band disagreement {diff} px"
+
+
+@pytest.fixture(scope="module")
+def multicrop_model():
+    """Amplified tiny model with crop_n_layers=1 (the reference's
+    multi-crop path: per-crop EPS loops + cross-crop NMS preferring
+    smaller crops, model.py:151-190)."""
+    import dataclasses
+
+    import jax
+    from flax import traverse_util as tu
+
+    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+
+    def _amp(params, rules):
+        flat = tu.flatten_dict(params, sep="/")
+        for k in list(flat):
+            for pat, f in rules:
+                if pat in k:
+                    flat[k] = flat[k] * f
+        return tu.unflatten_dict(
+            {tuple(k.split("/")): v for k, v in flat.items()})
+
+    m = CrowdSAM(oracle_config(**{"test.crop_n_layers": "1"}))
+    m.sam.params["prompt_encoder"] = _amp(
+        m.sam.params["prompt_encoder"],
+        [("pe_gaussian", 8.0), ("point_embeddings", 8.0)])
+    m.sam.params["mask_decoder"] = _amp(
+        m.sam.params["mask_decoder"],
+        [("hyper_mlps", 6.0), ("upscale_3", 8.0)])
+    m.engine_cfg = dataclasses.replace(m.engine_cfg, mask_threshold=28.0)
+    m.engine = make_eps_engine(
+        m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
+        spec_with_masks=m.output_rles)
+    m._survivor_pass = make_survivor_pass(m.engine_cfg, with_masks=m.output_rles)
+    return m
+
+
+@pytest.mark.slow
+def test_multicrop_matches_reference_loop_oracle(multicrop_model, rng):
+    """Multi-crop generate (crop_n_layers=1): per-crop loops + the
+    cross-crop NMS (scores = 1/crop_area, smaller crops win; crop_boxes
+    dropped afterwards) must agree with the reference-shaped oracle."""
+    from ref_loop_oracle import oracle_generate_multicrop
+
+    model = multicrop_model
+    image = _structured_image(rng, 224, 256)
+    key0 = model._key
+    data = model.generate(image)
+    o = oracle_generate_multicrop(model, image, key0, mode="parity")
+
+    assert o["n_crops"] > 1, "config did not produce multiple crops"
+    n_e = len(data["boxes"])
+    n_o = len(o["boxes"])
+    assert n_e == n_o, f"engine {n_e} vs oracle {n_o} detections"
+    assert n_e > 0, "multi-crop run produced no detections"
+
+    np.testing.assert_allclose(np.asarray(data["scores"]), o["scores"],
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(data["boxes"]), o["boxes"],
+                               atol=0.5)
+    np.testing.assert_allclose(np.asarray(data["points"]), o["points"],
+                               atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(data["categories"]),
+                                  o["categories"])
+    assert "crop_boxes" not in list(data.keys())
