@@ -325,6 +325,38 @@ def fused_decode(
     )
 
 
+def _pooled_from_exp(e, mx, dino_flat, num_mask_tokens, dtype):
+    """PWD pooling from the mask-head kernel's exp terms.
+
+    e (P, m, K*16) bf16 = exp(mask - c_j) per m-block j; mx (P, nblk) f32
+    block maxes; dino_flat (npix, C) packed-flat.  Softmax weights are
+    exp(v - M)/sum with M = max_j c_j — combined blockwise with f32
+    rescales; the denominator is guarded like decode_tail_kernel's
+    image_update (a mask trailing the block max by > ~88 would underflow
+    to 0/0 otherwise)."""
+    p_cnt, m, kk16 = e.shape
+    k = num_mask_tokens
+    nblk = mx.shape[1]
+    tm = m // nblk
+    npix = m * 16
+
+    mglob = jnp.max(mx, axis=1)                       # (P,)
+    w = jnp.exp(mx - mglob[:, None])                  # (P, nblk) f32
+
+    dino = dino_flat.reshape(npix, -1).astype(dtype)
+    ones = jnp.ones((npix, 1), dtype)
+    daug = jnp.concatenate([dino, ones], axis=1)      # (npix, C+1)
+    # blockwise contraction over (rows-in-block, q): e's lanes are k-major
+    # (k*16 + q), dino packed-flat rows are (block, row, q)-major.
+    e_r = e.reshape(p_cnt, nblk, tm, k, 16)
+    d_r = daug.reshape(nblk, tm, 16, -1)
+    nd = jnp.einsum("pjrkq,jrqc->pjkc", e_r, d_r,
+                    preferred_element_type=jnp.float32)
+    nd = jnp.einsum("pjkc,pj->pkc", nd, w)            # (P, K, C+1) f32
+    num, den = nd[..., :-1], nd[..., -1:]
+    return (num / jnp.maximum(den, 1e-30)).astype(dtype)
+
+
 def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
                   multimask_output, num_mask_tokens, p_cnt, h, w, c,
                   dtype, n_class, packed_masks):
@@ -354,15 +386,29 @@ def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
             x = jax.nn.relu(x)
     hyper_in = x
 
+    pool_e = pool_mx = None
     if packed_masks and "mask_head" in shared:
         # Fused Pallas mask head: the whole upscale chain stays in VMEM
         # (reads keys2 once, writes packed masks once — see
-        # models/mask_head_kernel.py).
+        # models/mask_head_kernel.py).  When PWD pooling follows, the
+        # kernel also emits exp(masks - block max) + the block maxes so
+        # the pooling needs no separate max/exp passes over the mask slab.
         from crowdsam_tpu.models.mask_head_kernel import mask_head_pallas
 
-        masks = mask_head_pallas(
-            keys2, hyper_in, shared["mask_head"], num_masks=num_mask_tokens
-        )                                             # (P, K, m, 16) bf16
+        import os
+
+        if dino_feats_proj is not None and not os.environ.get(
+            "CROWDSAM_DISABLE_EXP_POOLING"
+        ):
+            masks, pool_e, pool_mx = mask_head_pallas(
+                keys2, hyper_in, shared["mask_head"],
+                num_masks=num_mask_tokens, emit_exp=True,
+            )                                         # (P, K, m, 16) bf16
+        else:
+            masks = mask_head_pallas(
+                keys2, hyper_in, shared["mask_head"],
+                num_masks=num_mask_tokens,
+            )
         hh = ww = None
     elif packed_masks:
         # Transpose-free packed layout (ops.packed): the conv-transpose
@@ -407,6 +453,11 @@ def _decode_heads(dec_params, shared, queries, keys2, dino_feats_proj,
 
     if dino_feats_proj is None:
         cls_scores = jnp.zeros((p_cnt, num_mask_tokens, n_class))
+    elif pool_e is not None:
+        pooled = _pooled_from_exp(
+            pool_e, pool_mx, dino_feats_proj, num_mask_tokens, dtype
+        )
+        cls_scores = _relu_mlp(dec_params["point_classifier"], pooled, 2, dtype)
     else:
         # PWD pooling: softmax(masks) @ dino, computed as exp-weights over
         # the npix axis with the normalization folded into the contraction

@@ -90,8 +90,8 @@ def _gelu_erf(x):
 
 
 def _kernel(keys_ref, hyper_ref, w0_ref, b0_ref, lnw_ref, lnb_ref,
-            w1_ref, b1_ref, out_ref, *, c1: int, c2: int, num_masks: int,
-            eps: float):
+            w1_ref, b1_ref, out_ref, *refs, c1: int, c2: int, num_masks: int,
+            eps: float, emit_exp: bool = False):
     f32 = jnp.float32
     x = keys_ref[0]                                   # (TM, C) bf16
 
@@ -143,14 +143,35 @@ def _kernel(keys_ref, hyper_ref, w0_ref, b0_ref, lnw_ref, lnb_ref,
     # the lane-split reshape; it's a cheap XLA transpose of the output).
     out_ref[0] = masks.astype(out_ref.dtype)
 
+    if emit_exp:
+        # PWD-pooling support: e = exp(masks - block max) and the block
+        # max, so the XLA pooling needs no separate max/exp passes over
+        # the mask slab.  The max is GLOBAL over the block (all K masks):
+        # the softmax weights stay correct after the per-block rescale in
+        # XLA (exp(c_j - M)), and a trailing mask's denominator is guarded
+        # there (same scheme as decode_tail_kernel's image_update).
+        import jax.experimental.pallas as pl
+
+        e_ref, mx_ref = refs
+        c_blk = jnp.max(masks)
+        e_ref[0] = jnp.exp(masks - c_blk).astype(e_ref.dtype)
+        j = pl.program_id(1)
+        mx_ref[0, j, :] = jnp.full((mx_ref.shape[-1],), c_blk, jnp.float32)
+
 
 @functools.partial(
-    jax.jit, static_argnames=("num_masks", "tile_m", "interpret")
+    jax.jit, static_argnames=("num_masks", "tile_m", "interpret", "emit_exp")
 )
 def mask_head_pallas(keys2, hyper_in, weights, num_masks: int = 4,
-                     tile_m: int = 1024, interpret: bool = False):
+                     tile_m: int = 1024, interpret: bool = False,
+                     emit_exp: bool = False):
     """keys2 (P, M, C) bf16, hyper_in (P, K, c2) -> packed masks
-    (P, K, M, 16) bf16 (same values as the XLA packed branch)."""
+    (P, K, M, 16) bf16 (same values as the XLA packed branch).
+
+    With emit_exp=True additionally returns (e, mx): e (P, M, K*16) bf16 =
+    exp(mask - block max) in the kernel's pre-reorder lane layout, and
+    mx (P, n_blocks) f32 block maxes — the PWD pooling's softmax
+    numerator terms, combined in fused_decode._pooled_from_exp."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -175,9 +196,27 @@ def mask_head_pallas(keys2, hyper_in, weights, num_masks: int = 4,
     h_mat = hv * (rows_q == cols_q).astype(jnp.bfloat16)
 
     kern = functools.partial(
-        _kernel, c1=c1, c2=c2, num_masks=num_masks, eps=1e-6
+        _kernel, c1=c1, c2=c2, num_masks=num_masks, eps=1e-6,
+        emit_exp=emit_exp,
     )
     grid = (p, m // tm)
+    nblk = m // tm
+    out_specs = [pl.BlockSpec((1, tm, n_out), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((p, m, n_out), jnp.bfloat16)]
+    if emit_exp:
+        out_specs += [
+            pl.BlockSpec((1, tm, n_out), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # one block-max row per j step; the (i, 0, 0) block stays in
+            # VMEM across the consecutive j steps of each i
+            pl.BlockSpec((1, max(8, nblk), 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((p, m, n_out), jnp.bfloat16),
+            jax.ShapeDtypeStruct((p, max(8, nblk), 128), jnp.float32),
+        ]
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -199,9 +238,8 @@ def mask_head_pallas(keys2, hyper_in, weights, num_masks: int = 4,
             pl.BlockSpec(weights["b1"].shape, lambda i, j: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm, n_out), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, m, n_out), jnp.bfloat16),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
     )(
         keys2.astype(jnp.bfloat16),
@@ -214,4 +252,9 @@ def mask_head_pallas(keys2, hyper_in, weights, num_masks: int = 4,
         weights["b1"],
     )
     # (P, M, K*16) -> (P, K, M, 16): cheap XLA transpose of the output.
-    return out.reshape(p, m, num_masks, 16).transpose(0, 2, 1, 3)
+    if emit_exp:
+        masks_o, e_o, mx_o = out
+        masks_o = masks_o.reshape(p, m, num_masks, 16).transpose(0, 2, 1, 3)
+        return masks_o, e_o, mx_o[:, :nblk, 0]
+    (masks_o,) = out
+    return masks_o.reshape(p, m, num_masks, 16).transpose(0, 2, 1, 3)
