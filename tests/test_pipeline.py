@@ -229,3 +229,31 @@ def test_survivor_rle_bottom_edge_column_link():
     rle = rle_ops.encode_changes_coco(svals, in_h * in_w, (in_h, in_w))
     dec = rle_ops.coco_decode_rle(rle).astype(bool)
     np.testing.assert_array_equal(dec, ref)
+
+
+def test_trainfree_arch_generate(rng):
+    """Train-free variant end to end (reference model.py:206-218,308-316 +
+    configs/crowdhuman_trainfree.yaml: ImageNet-normalized DINO re-run,
+    cosine similarity against a cached reference feature, mask_selection
+    max_area, high filter_thresh): previously zero e2e coverage."""
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    cfg["model"]["trainfree"] = True
+    cfg["test"]["mask_selection"] = "max_area"
+    cfg["test"]["filter_thresh"] = 0.99
+    cfg["test"]["pos_sim_thresh"] = 0.05
+    cfg["test"]["max_prompts"] = 32
+    model = CrowdSAM(cfg)
+    # give the cosine-similarity path a non-degenerate reference feature
+    model.ref_feature = jnp.asarray(
+        rng.normal(0, 1, (model.predictor.dino_model.embed_dim,)).astype(
+            np.float32))
+    image = rng.integers(0, 255, (160, 256, 3), dtype=np.uint8)
+    data = model.generate(image)
+    keys = set(data.keys())
+    assert {"boxes", "scores", "rles"} <= keys
+    n = len(data["boxes"])
+    if n:
+        # train-free forces category 0 (reference model.py:358)
+        assert (np.asarray(data["categories"]) == 0).all()
