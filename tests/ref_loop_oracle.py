@@ -212,12 +212,24 @@ def oracle_generate(model, image: np.ndarray, sub_key, mode: str = "parity",
     factor = np.asarray([new_w / np.float32(in_w), new_h / np.float32(in_h)],
                         np.float32)
 
+    is_hq = getattr(pred, "is_hq", False)
+    if is_hq:
+        hq_feats = pred._cache["hq_features"]
+        dino_raw = pred._cache["dino_raw_256"]
+
     @jax.jit
     def decode(coords):
         sparse, dense = model.sam.prompt_encoder.apply(
             {"params": P["prompt_encoder"]},
             points=(coords[:, None, :], jnp.ones((K, 1), jnp.int32)),
         )
+        if is_hq:
+            # sam_hq decode (engine.py is_hq branch): HQ token + hoisted
+            # per-image fusion; pool-then-project PWD order.
+            return model.sam.mask_decoder.apply(
+                {"params": P["mask_decoder"]}, features, dense_pe, sparse,
+                dense, True, hq_features=hq_feats, dino_feats_256=dino_raw,
+            )
         return model.sam.mask_decoder.apply(
             {"params": P["mask_decoder"]}, features, dense_pe, sparse, dense,
             True, dino_feats_proj=dino_proj,

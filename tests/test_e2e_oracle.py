@@ -429,3 +429,37 @@ def test_multicrop_matches_reference_loop_oracle(multicrop_model, rng):
     np.testing.assert_array_equal(np.asarray(data["categories"]),
                                   o["categories"])
     assert "crop_boxes" not in list(data.keys())
+
+
+@pytest.mark.slow
+def test_hq_arch_matches_reference_loop_oracle(rng):
+    """sam_hq arch through the loop oracle: the engine's is_hq decode
+    branch (HQ token + hoisted fusion, engine.py:261-271) must agree with
+    the oracle's dynamic loop row-for-row on the pre-NMS set.  Run with
+    filters open (random HQ weights are not amplification-tuned, so the
+    detection count degenerates — the per-prompt row comparison is the
+    signal here)."""
+    m = CrowdSAM(oracle_config(**{
+        "model.sam_arch": "sam_hq",
+        "model.sam_model": "hqvit_tiny",
+        "test.pred_iou_thresh": "0.0",
+        "test.stability_score_thresh": "0.0",
+        "test.filter_thresh": "0.005",
+        "test.max_prompts": "32",
+    }))
+    image = _structured_image(rng, 160, 256)
+    data, consumed, sub, summary = _run_engine(m, image)
+    o = oracle_generate(m, image, sub, mode="parity")
+
+    assert consumed == o["num_consumed"]
+    pre = summary[summary[:, 1] > -1e30]
+    p = o["prenms"]
+    assert len(pre) == len(p["iou"]) > 0
+    ei = np.lexsort((pre[:, 1], pre[:, 11], pre[:, 10]))
+    oi = np.lexsort((p["iou"], p["pt"][:, 1], p["pt"][:, 0]))
+    np.testing.assert_allclose(pre[ei][:, 10:12], p["pt"][oi], atol=1e-3)
+    np.testing.assert_allclose(pre[ei][:, 1], p["iou"][oi], atol=2e-4)
+    np.testing.assert_allclose(pre[ei][:, 6:10], p["box"][oi], atol=0.01)
+    np.testing.assert_array_equal(pre[ei][:, 0] > 0.5, p["keep"][oi])
+    n_e = 0 if data is None else len(data["boxes"])
+    assert n_e == len(o["boxes"])
