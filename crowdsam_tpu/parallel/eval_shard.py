@@ -110,7 +110,16 @@ class ShardedPipeline:
             )
             return feats, proj_r, sim, dense_pe
 
-        raw_engine = model.engine.raw_fn
+        # Rebuild a vmap-safe engine: the speculative survivor tail's
+        # Pallas kernel (scalar SMEM operand) cannot be vmapped, so the
+        # batched engine uses the XLA tail there (the decode kernels vmap
+        # fine — they carry no SMEM scalars).
+        from crowdsam_tpu.pipeline.engine import make_eps_engine
+
+        raw_engine = make_eps_engine(
+            self.sam.prompt_encoder, self.sam.mask_decoder, cfg,
+            spec_with_masks=model.output_rles, spec_allow_kernel=False,
+        ).raw_fn
 
         def engine_b(params, feats, dense_pe, proj_r, sim, feat_hw, in_hw,
                      crop_box, orig_hw, downscale, keys):
@@ -122,7 +131,11 @@ class ShardedPipeline:
 
         from crowdsam_tpu.pipeline.engine import make_survivor_pass
 
-        survivor = make_survivor_pass(cfg, with_masks=model.output_rles)
+        # allow_kernel=False: the survivor Pallas kernel cannot be vmapped
+        # (batched SMEM block specs are rejected by the Mosaic lowering);
+        # the batched path takes the XLA tail.
+        survivor = make_survivor_pass(cfg, with_masks=model.output_rles,
+                                      allow_kernel=False)
 
         def survivor_b(logits, ns, in_hws):
             return jax.vmap(survivor)(logits, ns, in_hws)

@@ -116,7 +116,7 @@ def _select_mask(cfg: EngineConfig, masks, iou_fused):
 
 
 def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
-                    spec_with_masks=None):
+                    spec_with_masks=None, spec_allow_kernel: bool = True):
     """Build the jitted single-image decode engine.
 
     `spec_with_masks` (None | bool): when not None, the survivor tail for
@@ -403,7 +403,8 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
             # a small top-4 tier, mid images the full tier, and crowded
             # images (n > spec_survivors, where the host runs the bucketed
             # pass anyway) skip the tail entirely via lax.cond.
-            core = _survivor_core(cfg, with_masks=spec_with_masks)
+            core = _survivor_core(cfg, with_masks=spec_with_masks,
+                                  allow_kernel=spec_allow_kernel)
             n_keep = jnp.sum(keep_nms).astype(jnp.int32)
             in_hw_i = input_hw.astype(jnp.int32)
             spec_n = cfg.spec_survivors
@@ -476,7 +477,8 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
 _COL_SLOTS = 8
 
 
-def _survivor_core(cfg: EngineConfig, with_masks: bool):
+def _survivor_core(cfg: EngineConfig, with_masks: bool,
+                   allow_kernel: bool = True):
     """Shared survivor-tail body; see `make_survivor_pass` for the contract.
     Used both as a standalone bucketed jit and fused into the EPS engine
     for the speculative top-`spec_survivors` path."""
@@ -537,7 +539,8 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
         )
 
         use_kernel = (
-            with_masks
+            allow_kernel
+            and with_masks
             and not fullres
             and s_img == 4 * logits.shape[-1]
             and survivor_kernel_enabled()
@@ -722,7 +725,8 @@ def _survivor_core(cfg: EngineConfig, with_masks: bool):
     return run
 
 
-def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
+def make_survivor_pass(cfg: EngineConfig, with_masks: bool,
+                       allow_kernel: bool = True):
     """Fused bucketed survivor program: small-region cleanup + re-NMS, and
     (when `with_masks`) the full-res mask tail entirely on device —
     bilinear upsample + binarize, low-res cleanup edits applied by exact
@@ -741,8 +745,12 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool):
       - XLA path: rle_svals (K, max_rle_changes) int32 — column-major
         change positions.
     One compiled program per bucket size.
+
+    `allow_kernel=False` forces the XLA tail — required under jax.vmap
+    (the Pallas TPU lowering rejects the vmapped scalar SMEM block spec),
+    i.e. for ShardedPipeline's batched survivor program.
     """
-    return jax.jit(_survivor_core(cfg, with_masks))
+    return jax.jit(_survivor_core(cfg, with_masks, allow_kernel))
 
 
 def make_small_region_pass(cfg: EngineConfig):
