@@ -94,8 +94,11 @@ def _kernel(hw_ref, logits_ref, edit_ref, mrow_ref, mcol_ref, erow_ref,
             *, r: int, thresh: float, stage: int = 3):
     f32 = jnp.float32
     s = 4 * r
-    in_h = hw_ref[0]
-    in_w = hw_ref[1]
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    in_h = hw_ref[i, 0]
+    in_w = hw_ref[i, 1]
 
     lg = logits_ref[0].astype(f32)                     # (R, R)
     # Separable bilinear upsample as two MXU matmuls.
@@ -204,7 +207,7 @@ def _kernel(hw_ref, logits_ref, edit_ref, mrow_ref, mcol_ref, erow_ref,
 def survivor_rle_pallas(logits, edit, in_hw, thresh: float = 0.0,
                         interpret: bool = False, stage: int = 3):
     """logits (K, R, R) bf16/f32, edit (K, R, R) int8 in {-1, 0, +1},
-    in_hw (2,) int32 -> dict:
+    in_hw (2,) or per-mask (K, 2) int32 -> dict:
       packed (K, S, S//8) uint8 — upsampled+edited+valid-masked mask bits
       cand   (K, 8, S) int32    — first 8 change rows per column (S if none)
       n_col  (K, S) int32       — change count per column
@@ -216,6 +219,9 @@ def survivor_rle_pallas(logits, edit, in_hw, thresh: float = 0.0,
 
     k, r, _ = logits.shape
     s = 4 * r
+    in_hw = jnp.asarray(in_hw, jnp.int32)
+    if in_hw.ndim == 1:
+        in_hw = jnp.broadcast_to(in_hw[None], (k, 2))
     consts = [jnp.asarray(c) for c in _constants(r)]
 
     kern = functools.partial(_kernel, r=r, thresh=float(thresh), stage=stage)

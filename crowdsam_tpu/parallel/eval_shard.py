@@ -129,16 +129,13 @@ class ShardedPipeline:
             )(params, feats[:, None], dense_pe, proj_r, sim, feat_hw, in_hw,
               crop_box, orig_hw, downscale, keys)
 
-        from crowdsam_tpu.pipeline.engine import make_survivor_pass
+        from crowdsam_tpu.pipeline.engine import make_survivor_pass_batched
 
-        # allow_kernel=False: the survivor Pallas kernel cannot be vmapped
-        # (batched SMEM block specs are rejected by the Mosaic lowering);
-        # the batched path takes the XLA tail.
-        survivor = make_survivor_pass(cfg, with_masks=model.output_rles,
-                                      allow_kernel=False)
-
-        def survivor_b(logits, ns, in_hws):
-            return jax.vmap(survivor)(logits, ns, in_hws)
+        # Flattened-batch survivor: keeps the Pallas tail kernel on the
+        # batched path (vmapping the kernel fails to lower; see
+        # make_survivor_pass_batched).
+        survivor_b = make_survivor_pass_batched(
+            cfg, with_masks=model.output_rles)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

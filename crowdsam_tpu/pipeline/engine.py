@@ -753,6 +753,109 @@ def make_survivor_pass(cfg: EngineConfig, with_masks: bool,
     return jax.jit(_survivor_core(cfg, with_masks, allow_kernel))
 
 
+def make_survivor_pass_batched(cfg: EngineConfig, with_masks: bool):
+    """Batched survivor program for `ShardedPipeline`.
+
+    The per-mask work — low-res cleanup and the fused survivor-tail kernel
+    — is mask-independent, so it runs over the FLATTENED (B*K) mask axis
+    with per-mask in_hw; only the re-NMS and summary assembly are
+    per-image.  This keeps the Pallas kernel on the batched path (plain
+    `jax.vmap` of it fails to lower: batched scalar-SMEM block specs are
+    rejected by Mosaic).  Falls back to the vmapped XLA core off-TPU or in
+    fullres_cleanup mode.
+
+    fn(logits (B,K,R,R), ns (B,), in_hws (B,2) int32) -> same pytree as
+    `make_survivor_pass` with a leading batch axis.
+    """
+    from crowdsam_tpu.ops.survivor_kernel import (
+        survivor_kernel_enabled,
+        survivor_rle_pallas,
+    )
+
+    if cfg.fullres_cleanup or not survivor_kernel_enabled():
+        core = _survivor_core(cfg, with_masks, allow_kernel=False)
+        return jax.jit(jax.vmap(core))
+
+    area_lr = cfg.min_mask_region_area * (cfg.low_res / cfg.img_size) ** 2
+    thresh = max(cfg.box_nms_thresh, cfg.crop_nms_thresh)
+    s_img = cfg.img_size
+    maxc = cfg.max_rle_changes
+
+    @jax.jit
+    def run(logits, ns, in_hws):
+        b, k = logits.shape[:2]
+        r = logits.shape[-1]
+        valid_b = jnp.arange(k)[None, :] < ns[:, None]       # (B, K)
+        valid = valid_b.reshape(b * k)
+        flat = logits.reshape(b * k, r, r)
+        binm = (
+            flat.astype(jnp.float32) > cfg.mask_threshold
+        ) & valid[:, None, None]
+
+        if cfg.min_mask_region_area > 0:
+            m1, ch1 = remove_small_regions(
+                binm, area_lr, "holes", max_iters=cfg.cc_max_iters
+            )
+            m2, ch2 = remove_small_regions(
+                m1, area_lr, "islands", max_iters=cfg.cc_max_iters
+            )
+            unchanged = ~(ch1 | ch2)
+            new_boxes = batched_mask_to_box(m2).astype(jnp.float32)
+            keep = jax.vmap(
+                lambda bx, sc, vl: nms_mask(bx, sc, thresh, vl)
+            )(
+                new_boxes.reshape(b, k, 4),
+                unchanged.reshape(b, k).astype(jnp.float32),
+                valid_b,
+            ).reshape(b * k)
+            changed = (~unchanged) & valid
+        else:
+            m2 = binm
+            new_boxes = batched_mask_to_box(binm).astype(jnp.float32)
+            keep = valid
+            changed = jnp.zeros((b * k,), dtype=bool)
+
+        out = {}
+        if with_masks:
+            edit = (
+                ((~binm) & m2).astype(jnp.int8)
+                - (binm & ~m2).astype(jnp.int8)
+            )
+            edit = jnp.where(valid[:, None, None], edit, jnp.int8(-1))
+            hw_flat = jnp.repeat(in_hws.astype(jnp.int32), k, axis=0)
+            ko = survivor_rle_pallas(
+                flat, edit, hw_flat, thresh=cfg.mask_threshold
+            )
+            out["packed"] = ko["packed"].reshape(b, k, s_img, s_img // 8)
+            out["rle_cand"] = ko["cand"].reshape(b, k, -1, s_img)
+            out["rle_ncol"] = ko["n_col"].reshape(b, k, s_img)
+            ksum = ko["summary"]
+            fr_boxes = ksum[:, :4].astype(jnp.float32)
+            nonempty = ksum[:, 4] > 0
+            n_changes = jnp.where(
+                ksum[:, 6] > 0, jnp.int32(maxc + 1), ksum[:, 5]
+            ).astype(jnp.int32)
+        else:
+            fr_boxes = jnp.zeros((b * k, 4), jnp.float32)
+            nonempty = jnp.zeros((b * k,), bool)
+            n_changes = jnp.zeros((b * k,), jnp.int32)
+
+        out["summary"] = jnp.concatenate(
+            [
+                keep[:, None].astype(jnp.float32),
+                changed[:, None].astype(jnp.float32),
+                new_boxes,
+                fr_boxes,
+                n_changes[:, None].astype(jnp.float32),
+                nonempty[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        ).reshape(b, k, 12)
+        return out
+
+    return run
+
+
 def make_small_region_pass(cfg: EngineConfig):
     """Bucketed small-region cleanup + re-NMS over gathered survivors.
 
