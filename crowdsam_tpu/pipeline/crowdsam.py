@@ -220,7 +220,15 @@ class CrowdSAM:
             fuse_simmap=self.fuse_simmap,
             cc_max_iters=tpucfg.get("cc_max_iters", 192),
             fused_decode=tpucfg.get("fused_decode", True),
-            spec_survivors=tpucfg.get("spec_survivors", 16),
+            # Default comes from the EngineConfig dataclass (32: covers the
+            # CrowdHuman-average detection count so typical crowded images
+            # take the in-engine speculative tail).  Round-2 regression: a
+            # hard-coded 16 here silently overrode the dataclass default in
+            # every shipped entry point; tests/test_engine_defaults.py pins
+            # the wiring now.
+            spec_survivors=tpucfg.get(
+                "spec_survivors", EngineConfig.spec_survivors
+            ),
             fullres_cleanup=tpucfg.get("fullres_cleanup", False),
         )
         if self.engine_cfg.fullres_cleanup and not (
