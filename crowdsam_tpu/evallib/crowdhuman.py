@@ -103,8 +103,16 @@ class ImageEval:
         self.ign_num = int((tag == -1).sum())
 
     def load_cocojson_dt(self, annots: List[dict]):
-        key = "hbox" if self.mode == 1 and annots and "hbox" in annots[0] \
-            else "bbox"
+        if self.mode == 1:
+            # Head-box mode: silently scoring body boxes against head GT
+            # would look plausible but be wrong — require the field like
+            # the mode-2 branch does.
+            assert annots == [] or "hbox" in annots[0], (
+                "mode 1 (head-box eval) needs an 'hbox' field on each "
+                "detection; refusing to fall back to the body 'bbox'")
+            key = "hbox"
+        else:
+            key = "bbox"
         boxes = np.array([a[key] for a in annots], dtype=np.float64).reshape(-1, 4)
         if len(boxes):
             boxes[:, 2:4] += boxes[:, :2]

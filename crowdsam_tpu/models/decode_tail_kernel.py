@@ -284,7 +284,12 @@ def _kernel(keys0_ref, q1i_ref, k1_ref, v1_ref, tok_ref, *refs,
         # heads, so a head trailing the best head by >~88 would see all
         # its exp() terms flush to 0 and denom==0 -> NaN.  Clamping to a
         # tiny positive value turns that (degenerate, all-underflowed)
-        # head's output into ~0 instead of NaN.
+        # head's output into ~0 instead of NaN.  Documented deviation
+        # (PARITY.md): the reference's per-head softmax would still return
+        # a valid average for such a head; a >88-logit cross-head spread
+        # does not occur with LayerNormed QK^T at 1/sqrt(d) scale, and
+        # computing true per-head maxes would need H extra lane-masked
+        # reductions per hot-loop iteration.
         denom = jnp.maximum(denom, jnp.float32(1e-30))
         denom_b = jax.lax.dot_general(
             denom, seg.T, (((1,), (0,)), ((), ())), preferred_element_type=f32

@@ -21,75 +21,85 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class MaskData:
-    """Dict-of-arrays with filter/cat/to_numpy (reference `amg.py:16-75`).
+_MASKDATA_TYPES = (list, np.ndarray, jnp.ndarray)
 
-    Host-side container used by the pipeline shell; holds numpy arrays,
-    jax arrays, or lists.
+
+class MaskData:
+    """Per-detection field store with row-wise filter/concat semantics.
+
+    API contract (names + behaviour): reference `amg.py:16-75`.  The
+    pipeline shell keeps one row per detection across heterogeneous
+    fields — arrays (device or host) and plain lists (RLE dicts) — and
+    needs to subset or merge all of them in lockstep.
     """
 
     def __init__(self, **kwargs) -> None:
-        for v in kwargs.values():
-            assert isinstance(
-                v, (list, np.ndarray, jnp.ndarray)
-            ), "MaskData only supports list, numpy arrays, and jax arrays."
-        self._stats: Dict[str, Any] = dict(**kwargs)
+        self._d: Dict[str, Any] = {}
+        for k, v in kwargs.items():
+            self[k] = v
 
     def __setitem__(self, key: str, item: Any) -> None:
-        assert isinstance(
-            item, (list, np.ndarray, jnp.ndarray)
-        ), "MaskData only supports list, numpy arrays, and jax arrays."
-        self._stats[key] = item
+        if not isinstance(item, _MASKDATA_TYPES):
+            raise AssertionError(
+                f"MaskData field {key!r}: expected a list or a "
+                f"numpy/jax array, got {type(item).__name__}"
+            )
+        self._d[key] = item
 
     def __delitem__(self, key: str) -> None:
-        del self._stats[key]
+        del self._d[key]
 
     def __getitem__(self, key: str) -> Any:
-        return self._stats[key]
+        return self._d[key]
 
     def __contains__(self, key: str) -> bool:
-        return key in self._stats
+        return key in self._d
 
     def items(self) -> ItemsView[str, Any]:
-        return self._stats.items()
+        return self._d.items()
 
     def keys(self):
-        return self._stats.keys()
+        return self._d.keys()
 
     def get(self, key: str, default: Any = None) -> Any:
-        return self._stats.get(key, default)
+        return self._d.get(key, default)
 
     def filter(self, keep) -> None:
+        """Row-subset every field by a boolean mask or index array."""
         keep = np.asarray(keep)
-        for k, v in self._stats.items():
+        by_flag = keep.dtype == np.bool_
+        for k, v in self._d.items():
             if v is None:
-                self._stats[k] = None
-            elif isinstance(v, (np.ndarray, jnp.ndarray)):
-                self._stats[k] = v[keep]
-            elif isinstance(v, list) and keep.dtype == np.bool_:
-                self._stats[k] = [a for i, a in enumerate(v) if keep[i]]
+                continue
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
+                self._d[k] = v[keep]
             elif isinstance(v, list):
-                self._stats[k] = [v[i] for i in keep]
+                rows = np.flatnonzero(keep) if by_flag else keep
+                self._d[k] = [v[int(i)] for i in rows]
             else:
-                raise TypeError(f"MaskData key {k} has an unsupported type {type(v)}.")
+                raise TypeError(f"cannot filter MaskData field {k!r} "
+                                f"of type {type(v).__name__}")
 
-    def cat(self, new_stats: "MaskData") -> None:
-        for k, v in new_stats.items():
-            if k not in self._stats or self._stats[k] is None:
-                self._stats[k] = deepcopy(v) if isinstance(v, list) else v
+    def cat(self, other: "MaskData") -> None:
+        """Row-append `other`'s fields (introducing absent keys)."""
+        for k, v in other.items():
+            cur = self._d.get(k)
+            if cur is None:
+                self._d[k] = deepcopy(v) if isinstance(v, list) else v
             elif isinstance(v, jnp.ndarray):
-                self._stats[k] = jnp.concatenate([self._stats[k], v], axis=0)
+                self._d[k] = jnp.concatenate([cur, v], axis=0)
             elif isinstance(v, np.ndarray):
-                self._stats[k] = np.concatenate([self._stats[k], v], axis=0)
+                self._d[k] = np.concatenate([cur, v], axis=0)
             elif isinstance(v, list):
-                self._stats[k] = self._stats[k] + deepcopy(v)
+                self._d[k] = cur + deepcopy(v)
             else:
-                raise TypeError(f"MaskData key {k} has an unsupported type {type(v)}.")
+                raise TypeError(f"cannot concat MaskData field {k!r} "
+                                f"of type {type(v).__name__}")
 
     def to_numpy(self) -> None:
-        for k, v in self._stats.items():
+        for k, v in self._d.items():
             if isinstance(v, jnp.ndarray):
-                self._stats[k] = np.asarray(v)
+                self._d[k] = np.asarray(v)
 
 
 def batch_iterator(batch_size: int, *args) -> Generator[List[Any], None, None]:

@@ -219,6 +219,14 @@ def survivor_rle_pallas(logits, edit, in_hw, thresh: float = 0.0,
 
     k, r, _ = logits.shape
     s = 4 * r
+    # Keep the caller's float dtype: the kernel upcasts to f32 before the
+    # upsample matmuls either way, so a bf16 downcast here would only
+    # introduce threshold-adjacent bit flips vs the XLA path (which
+    # binarizes f32) — at zero perf gain.  (ADVICE r2: the engine slab is
+    # bf16, so production inputs are unchanged; f32 callers now match the
+    # XLA path exactly.)
+    lg_in = logits if logits.dtype in (jnp.bfloat16, jnp.float32) \
+        else logits.astype(jnp.float32)
     in_hw = jnp.asarray(in_hw, jnp.int32)
     if in_hw.ndim == 1:
         in_hw = jnp.broadcast_to(in_hw[None], (k, 2))
@@ -253,8 +261,7 @@ def survivor_rle_pallas(logits, edit, in_hw, thresh: float = 0.0,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(in_hw.astype(jnp.int32), logits.astype(jnp.bfloat16),
-      edit.astype(jnp.int8), *consts)
+    )(in_hw.astype(jnp.int32), lg_in, edit.astype(jnp.int8), *consts)
 
     packed, misc = out
     return {

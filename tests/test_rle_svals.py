@@ -55,6 +55,59 @@ def test_svals_match_packed(rng):
         assert (svals[i][nch:] == -1).all()
 
 
+def test_svals_from_cand_matches_xla_path(rng):
+    """Host flatten of the survivor kernel's candidate table (the
+    production TPU path: kernel cand/n_col -> rle.svals_from_cand ->
+    encode_changes_coco) must agree with the XLA path's rle_svals AND with
+    a direct bitmap encode (ADVICE r2: this composition had no CPU test).
+    """
+    from scipy.ndimage import gaussian_filter
+
+    from crowdsam_tpu.ops import rle as rle_ops
+    from crowdsam_tpu.ops.survivor_kernel import survivor_rle_pallas
+
+    s, r, k = 256, 64, 4
+    cfg = EngineConfig(img_size=s, low_res=r, min_mask_region_area=0.0)
+    run_xla = make_survivor_pass(cfg, with_masks=True)
+
+    x = gaussian_filter(rng.normal(size=(k, r, r)), sigma=5.0, axes=(1, 2))
+    logits = ((x - np.median(x, axis=(1, 2), keepdims=True)) * 30).astype(
+        np.float32
+    )
+    in_h, in_w = 172, 256
+    hw = jnp.asarray((in_h, in_w), jnp.int32)
+
+    out_x = run_xla(jnp.asarray(logits), jnp.int32(k), hw)
+    edit = np.zeros((k, r, r), np.int8)
+    out_k = survivor_rle_pallas(
+        jnp.asarray(logits), jnp.asarray(edit), hw, thresh=0.0,
+        interpret=True,
+    )
+
+    svals_xla = np.asarray(out_x["rle_svals"])
+    summary = np.asarray(out_x["summary"])
+    cand = np.asarray(out_k["cand"])
+    ncol = np.asarray(out_k["n_col"])
+    packed = np.asarray(out_k["packed"])
+    total = in_h * in_w
+
+    for i in range(k):
+        nch = int(summary[i, 10])
+        if nch > svals_xla.shape[1]:
+            continue
+        got = rle_ops.svals_from_cand(cand[i], ncol[i], in_h)
+        np.testing.assert_array_equal(got, svals_xla[i, :nch],
+                                      err_msg=f"mask {i}")
+        # And the COCO string built from the flatten equals the direct
+        # bitmap encode of the kernel's own packed output.
+        full = np.unpackbits(packed[i : i + 1], axis=-1)[
+            :, :in_h, :in_w
+        ].astype(bool)
+        via_changes = rle_ops.encode_changes_coco(got, total, (in_h, in_w))
+        via_bitmap = rle_ops.encode_masks_coco(full)[0]
+        assert via_changes == via_bitmap, f"mask {i}"
+
+
 def test_svals_column_overflow_falls_back():
     s, r = 256, 64
     cfg = EngineConfig(img_size=s, low_res=r, min_mask_region_area=0.0)
