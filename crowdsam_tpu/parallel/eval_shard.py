@@ -140,7 +140,6 @@ class ShardedPipeline:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
 
             def dshard(ndim):
@@ -151,12 +150,49 @@ class ShardedPipeline:
                 if spatial_axis
                 else dshard(4)
             )
+            # The encode stays under GSPMD jit: the spatial_axis mode
+            # relies on XLA's automatic partitioning (halo exchanges for
+            # the patch embed / windowed attention).  NOTE (ADVICE r2):
+            # pallas_call has no GSPMD partitioning rule, so on a real
+            # multi-chip TPU mesh the encoder's Pallas kernels must be
+            # disabled (CROWDSAM_DISABLE_FLASH / _FUSED_WINDOW /
+            # _PALLAS_LN) when spatial_axis is set; pure data-parallel
+            # encode shards only the batch axis, which XLA handles by
+            # running each kernel per-shard.
             self._encode_b = jax.jit(
                 encode_b,
                 in_shardings=(repl, repl, img_spec, dshard(2)),
             )
-            self._engine_b = jax.jit(engine_b)
-            self._survivor_b = jax.jit(survivor_b)
+
+            # Engine + survivor run under shard_map over the data axis:
+            # inside each shard the program sees unsharded per-shard
+            # batches, so the Pallas decode/survivor kernels need no GSPMD
+            # partitioning rule (pallas_call has none — a plain jit here
+            # could fail to compile or silently all-gather the whole batch
+            # per device on a real multi-chip mesh).
+            from jax.experimental.shard_map import shard_map
+
+            dsize = mesh.shape["data"]
+            assert batch % dsize == 0, (
+                f"batch {batch} must divide over the data axis ({dsize})")
+            dsp = P("data")
+            self._engine_b = jax.jit(
+                shard_map(
+                    engine_b, mesh=mesh,
+                    in_specs=(P(), dsp, P(), dsp, dsp, dsp, dsp, dsp, dsp,
+                              dsp, dsp),
+                    out_specs=dsp,
+                    check_rep=False,
+                )
+            )
+            self._survivor_b = jax.jit(
+                shard_map(
+                    survivor_b, mesh=mesh,
+                    in_specs=(dsp, dsp, dsp),
+                    out_specs=dsp,
+                    check_rep=False,
+                )
+            )
         else:
             self._encode_b = jax.jit(encode_b)
             self._engine_b = jax.jit(engine_b)
