@@ -3,13 +3,27 @@
 Runs the full Crowd-SAM pipeline (fused SAM ViT-L + DINOv2 ViT-L/14 encode,
 dense-prompt EPS decode engine, NMS + cleanup + RLE) at the reference's
 default inference config (configs/crowdhuman.yaml: 1024 max size, grid 192,
-max_prompts 500, points_per_batch 32) on a synthetic crowded 1024x683 image
-with random weights (no pretrained checkpoints exist in this environment;
-compute/shape behaviour is identical to real weights, and the foreground
-threshold is tuned so the engine consumes the full 500-prompt budget — the
-dense-decode worst case).
+max_prompts 500, points_per_batch 32, box_nms 0.65) on a synthetic
+blob-structured 1024x683 image with random weights (no pretrained
+checkpoints exist in this environment; compute/shape behaviour is identical
+to real weights, and the foreground threshold is tuned so the engine
+consumes the full 500-prompt budget — the dense-decode worst case).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two regimes are measured:
+- sparse: unmodified random weights (~1 detection; measures encode+engine);
+- crowded: a committed weight-amplification recipe (the oracle fixture's,
+  tests/test_e2e_oracle.py) yielding a CrowdHuman-like detection count at
+  the REFERENCE NMS threshold, so the detection-count-scaled tail
+  (survivor pass, RLE, host COCO strings) is loaded realistically.
+
+Round-3 hardening (VERDICT r2): the bench image is blob-structured (pure
+noise FG maps are degenerate), box_nms is never tuned away from the
+reference 0.65, every survivor bucket is prewarmed before the timed loop,
+the headline is the MEDIAN over BENCH_ITERS, and the JSON carries
+per-iteration times + per-image tail stats so a bad driver run is
+diagnosable from the artifact alone.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 `vs_baseline` is value / 0.5 img/s — the assumed single-A100 throughput of
 the reference implementation (the repo publishes no timing; ~2 s/image is
 the observed order of magnitude for its 16 sequential 32-prompt decode
@@ -24,15 +38,35 @@ import time
 import numpy as np
 
 
+def structured_image(seed, h, w, blobs=14):
+    """Deterministic blob-structured image (person-ish upright ellipses over
+    textured background; mirrors tests/test_e2e_oracle.py::_structured_image
+    with CrowdHuman-like blob count/aspect).  Pure uniform noise makes the
+    foreground map and decoded masks degenerate — the r2 bench measured a
+    synthetic pathology because of it (VERDICT r2 weak #3)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 120, (h, w, 3), dtype=np.uint8).astype(np.int32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(blobs):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        ry = rng.integers(h // 8, h // 3)       # tall ...
+        rx = max(ry // 3, 12)                    # ... narrow: person-like
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        img[blob] += int(rng.integers(60, 135))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def _pick_threshold(sel_logits, nms_thresh):
-    """Choose (mask threshold, box-NMS threshold) so the probe batch keeps
-    >= half its prompts as box-NMS survivors (self-tuning: random-weight
-    logit scales and inter-prompt mask correlation vary with model size,
-    so neither a fixed percentile nor the default NMS threshold transfers
-    — at ViT-L depth even amplified prompts yield near-identical masks
-    whose boxes all exceed IoU 0.65, so the crowded config raises the NMS
-    threshold as a synthetic-load knob; the per-detection work being
-    measured is identical).  Prefers the default NMS threshold."""
+    """Place the mask threshold in the probe batch's logit spread so box
+    NMS at the REFERENCE threshold keeps as many prompts as possible.
+
+    Random-weight logit scales vary with model size, so a percentile probe
+    is needed — but the NMS threshold is NOT a tuning knob: the r2 tuner
+    escalated box_nms 0.65 -> 0.995 chasing survivor counts and pushed the
+    driver run into a degenerate operating point (nearly all 500 prompts
+    surviving NMS) that the reference never runs.  If the probe can't find
+    enough survivors at 0.65, the bench proceeds anyway and reports the
+    shortfall loudly in the JSON."""
     k = sel_logits.shape[0]
 
     def boxes_of(b):
@@ -61,31 +95,29 @@ def _pick_threshold(sel_logits, nms_thresh):
                     keep[j] = False
         return int(keep.sum())
 
-    best = (float(np.percentile(sel_logits, 97.0)), nms_thresh, -1)
-    for nth in (nms_thresh, 0.9, 0.97, 0.995):
-        for q in (80.0, 88.0, 93.0, 96.5, 98.5, 99.5):
-            th = float(np.percentile(sel_logits, q))
-            n = nms_count(boxes_of(sel_logits > th), nth)
-            if n > best[2]:
-                best = (th, nth, n)
-        if best[2] >= k // 2:
-            break  # prefer the lowest NMS threshold that loads the tail
-    return best[0], best[1], best[2]
+    best = (float(np.percentile(sel_logits, 97.0)), -1)
+    for q in (80.0, 88.0, 93.0, 96.5, 98.5, 99.5):
+        th = float(np.percentile(sel_logits, q))
+        n = nms_count(boxes_of(sel_logits > th), nms_thresh)
+        if n > best[1]:
+            best = (th, n)
+    return best
 
 
-def make_crowded_model(cfg):
+def make_crowded_model(cfg, probe_image):
     """A second pipeline whose random weights are shaped to yield a
-    CrowdHuman-like detection count (~50-300 NMS survivors), so the bench
+    CrowdHuman-like detection count at reference thresholds, so the bench
     also measures the detection-count-scaled work the sparse number never
-    enters: the bucketed survivor pass, per-mask full-res RLE extraction,
-    and the host COCO-string tail (VERDICT round 1, weak #1).
+    enters: the speculative/bucketed survivor tail, per-mask full-res RLE
+    extraction, and the host COCO-string tail.
 
-    Mechanism (mirrors tests/test_e2e_oracle.py's fixture): amplify the
-    prompt encoder's Fourier matrix + point embeddings (decorrelates
-    prompts) and the hypernetwork/upscale output layers (spreads mask
-    logits) without touching the token/iou/cls paths, then binarize at a
-    high percentile of the probed logit distribution so masks are compact
-    blobs whose boxes differ enough to survive box NMS.
+    Mechanism (the committed oracle-fixture recipe,
+    tests/test_e2e_oracle.py::model): amplify the prompt encoder's Fourier
+    matrix + point embeddings (decorrelates prompts) and the hypernetwork/
+    upscale output layers (spreads mask logits) without touching the
+    token/iou/cls paths, then binarize high in the probed logit spread so
+    masks are compact varied blobs.  Only `mask_threshold` is tuned;
+    box_nms stays at the reference value.
     """
     import dataclasses
 
@@ -94,7 +126,7 @@ def make_crowded_model(cfg):
     from flax import traverse_util as tu
 
     from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
-    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+    from crowdsam_tpu.pipeline.engine import make_eps_engine
 
     model = CrowdSAM(cfg)
 
@@ -114,15 +146,15 @@ def make_crowded_model(cfg):
         model.sam.params["mask_decoder"],
         [("hyper_mlps", 6.0), ("upscale_3", 8.0)])
 
-    # Probe one decode batch to place the mask threshold high in the logit
-    # spread (compact varied blobs -> varied boxes -> many NMS survivors).
+    # Probe one decode batch to place the mask threshold in the logit
+    # spread (compact varied blobs -> varied boxes -> NMS survivors).
     rng = np.random.default_rng(1)
-    probe = rng.integers(0, 255, (683, 1024, 3), dtype=np.uint8)
-    model.crop_image(probe, [0, 0, 1024, 683])
+    model.crop_image(probe_image, [0, 0, probe_image.shape[1],
+                                   probe_image.shape[0]])
     p = model.predictor
     p.set_image_presized(model.image)
     k = model.engine_cfg.points_per_batch
-    coords = rng.uniform(50, 600, (k, 2)).astype(np.float32)
+    coords = rng.uniform(50, 900, (k, 2)).astype(np.float32)
 
     @jax.jit  # unjitted on axon, every eager op compiles over the tunnel
     def _probe_decode(params, emb, dense_pe, dino_proj, coords):
@@ -141,19 +173,62 @@ def make_crowded_model(cfg):
     )
     m = np.asarray(masks, np.float32)
     sel = m[np.arange(k), np.asarray(iou).argmax(1)]
-    th, nms_th, probe_n = _pick_threshold(sel, model.engine_cfg.box_nms_thresh)
+    nms_th = model.engine_cfg.box_nms_thresh  # reference 0.65, untouched
+    th, probe_n = _pick_threshold(sel, nms_th)
     p.reset_image()
-    print(f"# crowded tuner: mask_threshold {th:.2f}, box_nms {nms_th}, "
-          f"probe survivors {probe_n}/{k}", file=sys.stderr)
+    shortfall = probe_n < k // 2
+    print(f"# crowded tuner: mask_threshold {th:.2f}, box_nms {nms_th} "
+          f"(reference, fixed), probe survivors {probe_n}/{k}"
+          + (" — SHORTFALL: fewer than half the probe prompts survive at "
+             "the reference operating point; proceeding at the committed "
+             "recipe anyway" if shortfall else ""),
+          file=sys.stderr)
 
     model.engine_cfg = dataclasses.replace(
-        model.engine_cfg, mask_threshold=th, box_nms_thresh=nms_th)
+        model.engine_cfg, mask_threshold=th)
     model.engine = make_eps_engine(
         model.sam.prompt_encoder, model.sam.mask_decoder, model.engine_cfg,
         spec_with_masks=model.output_rles)
-    model._survivor_pass = make_survivor_pass(
-        model.engine_cfg, with_masks=model.output_rles)
-    return model
+    model._build_survivor_programs()
+    return model, {"mask_threshold": th, "box_nms": nms_th,
+                   "probe_survivors": probe_n, "probe_batch": k,
+                   "probe_shortfall": bool(shortfall)}
+
+
+def stage_probe(model, image):
+    """Coarse per-stage attribution (single samples, force_sync-bounded;
+    ±tunnel variance — diagnostics, not optimization-grade numbers)."""
+    from crowdsam_tpu.utils.profiling import force_sync
+
+    crop_box = [0, 0, image.shape[1], image.shape[0]]
+    t0 = time.time()
+    model.crop_image(image, crop_box)
+    model.predictor.set_image_presized(model.image)
+    force_sync(model.predictor.get_image_embedding())
+    encode_ms = (time.time() - t0) * 1000
+
+    t0 = time.time()
+    res, meta = model._dispatch_crop(image, crop_box)
+    force_sync(res["summary"])
+    dispatch_ms = (time.time() - t0) * 1000  # encode + engine (re-encoded)
+
+    t0 = time.time()
+    model._finalize_crop(res, meta)
+    finalize_ms = (time.time() - t0) * 1000  # host tail incl. survivor
+
+    return {"encode_ms": round(encode_ms, 1),
+            "dispatch_ms": round(dispatch_ms, 1),
+            "finalize_ms": round(finalize_ms, 1)}
+
+
+def _stats(times_s):
+    ms = [t * 1000 for t in times_s]
+    return {
+        "median_ms": round(float(np.median(ms)), 1),
+        "mean_ms": round(float(np.mean(ms)), 1),
+        "min_ms": round(float(np.min(ms)), 1),
+        "iters_ms": [round(t, 1) for t in ms],
+    }
 
 
 def main():
@@ -182,14 +257,15 @@ def main():
         "test.stability_score_thresh", "0.0",
     ])
 
-    rng = np.random.default_rng(0)
-    image = rng.integers(0, 255, (683, 1024, 3), dtype=np.uint8)
+    # Deterministic blob-structured bench image (see structured_image).
+    image = structured_image(0, 683, 1024)
 
     model = CrowdSAM(cfg)
-    crowded = make_crowded_model(cfg)
+    crowded, tuner = make_crowded_model(cfg, image)
 
     batch = int(os.environ.get("BENCH_BATCH", "0"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    extra = {}
     if batch > 1:
         # Batched/sharded throughput mode (images amortize dispatch +
         # tunnel-round-trip overhead; the multi-chip eval path).
@@ -202,35 +278,55 @@ def main():
         t0 = time.time()
         for _ in range(iters):
             results = pipe.generate_batch([image] * batch)
-        dt = (time.time() - t0) / (iters * batch)
+        total = time.time() - t0
+        sparse = {"median_ms": round(total / (iters * batch) * 1000, 1),
+                  "mean_ms": round(total / (iters * batch) * 1000, 1),
+                  "min_ms": None, "iters_ms": []}
         result = results[0]
     else:
-        # Warmup / compile.
+        # Warmup / compile, then prewarm every survivor bucket so the
+        # steady-state loop can never hit a fresh XLA compile (VERDICT r2:
+        # the 1864 ms/img driver capture was in-loop bucket compiles).
         t0 = time.time()
         result = model.generate(image)
+        model.prewarm_survivors()
         compile_s = time.time() - t0
 
         # Steady state: pipelined multi-image path (host tail of image k
         # overlaps device compute of image k+1).
+        times = []
         t0 = time.time()
-        results = model.generate_many([image] * iters)
-        dt = (time.time() - t0) / iters
+        results = model.generate_many([image] * iters, times_out=times)
+        wall = (time.time() - t0) / iters
+        sparse = _stats(times)
+        sparse["wall_ms_per_img"] = round(wall * 1000, 1)
         result = results[-1]
 
     n_det = len(result["boxes"])
-    value = 1.0 / dt
+    value = 1000.0 / sparse["median_ms"]
 
-    # Crowded regime: same pipeline under a CrowdHuman-like detection load
-    # (the sparse synthetic image yields ~1 detection and skips all the
-    # detection-count-scaled work).
+    # Crowded regime: same pipeline under a CrowdHuman-like detection load.
     t0 = time.time()
-    cres = crowded.generate(image)
+    crowded.generate(image)
+    crowded.prewarm_survivors()
     crowded_compile_s = time.time() - t0
+
+    crowded.tail_stats = []
+    ctimes = []
     t0 = time.time()
-    cresults = crowded.generate_many([image] * iters)
-    cdt = (time.time() - t0) / iters
+    cresults = crowded.generate_many([image] * iters, times_out=ctimes)
+    cwall = (time.time() - t0) / iters
+    crowd = _stats(ctimes)
+    crowd["wall_ms_per_img"] = round(cwall * 1000, 1)
     cn_det = len(cresults[-1]["boxes"])
-    cvalue = 1.0 / cdt
+    cvalue = 1000.0 / crowd["median_ms"]
+    keep_counts = [t["n"] for t in crowded.tail_stats]
+    paths = [t["path"] for t in crowded.tail_stats]
+    crowded.tail_stats = None
+
+    # Per-stage attribution probes (post-timing: they re-run the chain).
+    stages = {"sparse": stage_probe(model, image),
+              "crowded": stage_probe(crowded, image)}
 
     out = {
         "metric": "CrowdHuman val images/sec/chip (dense-prompt decode)",
@@ -241,13 +337,24 @@ def main():
         "crowded_vs_baseline": round(cvalue / 0.5, 3),
         "crowded_detections": cn_det,
         "sparse_detections": n_det,
+        "sparse": sparse,
+        "crowded": crowd,
+        "crowded_keep_counts": keep_counts,
+        "crowded_tail_paths": paths,
+        "tuner": tuner,
+        "stages": stages,
+        "compile_s": round(compile_s, 1),
+        "crowded_compile_s": round(crowded_compile_s, 1),
+        "backend": jax.default_backend(),
+        **extra,
     }
     print(json.dumps(out))
     print(
-        f"# compile {compile_s:.1f}s, steady {dt*1000:.0f} ms/img, "
-        f"{n_det} detections, backend={jax.default_backend()}; "
-        f"crowded: compile {crowded_compile_s:.1f}s, "
-        f"{cdt*1000:.0f} ms/img, {cn_det} detections",
+        f"# compile {compile_s:.1f}s, sparse median {sparse['median_ms']:.0f}"
+        f" ms/img ({n_det} det), backend={jax.default_backend()}; crowded:"
+        f" compile {crowded_compile_s:.1f}s, median {crowd['median_ms']:.0f}"
+        f" ms/img ({cn_det} det, keep counts {keep_counts},"
+        f" tail paths {paths})",
         file=sys.stderr,
     )
 

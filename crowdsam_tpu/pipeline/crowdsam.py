@@ -246,11 +246,11 @@ class CrowdSAM:
             sam.prompt_encoder, sam.mask_decoder, self.engine_cfg,
             spec_with_masks=self.output_rles,
         )
-        from crowdsam_tpu.pipeline.engine import make_survivor_pass
-
-        self._survivor_pass = make_survivor_pass(
-            self.engine_cfg, with_masks=self.output_rles
-        )
+        self._build_survivor_programs()
+        # Optional tail introspection (bench/profiling): when a list, each
+        # _finalize_crop appends {"n": pre-survivor keep count, "path":
+        # "spec"|"none"|bucket size}.
+        self.tail_stats: Optional[list] = None
         self._sim_prep = jax.jit(self._sim_prep_impl)
         self._trainfree_sim = jax.jit(self._trainfree_sim_impl)
         self._upsample = jax.jit(self._upsample_impl)
@@ -296,7 +296,49 @@ class CrowdSAM:
         weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
         return (bits.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
 
+    def _build_survivor_programs(self) -> None:
+        """(Re)build the bucketed survivor programs from `self.engine_cfg`.
+        Call again after swapping engine_cfg (bench/tests)."""
+        from crowdsam_tpu.pipeline.engine import make_survivor_pass
+
+        self._survivor_pass = make_survivor_pass(
+            self.engine_cfg, with_masks=self.output_rles
+        )
+        # Gather fused into the bucketed survivor program: one dispatch per
+        # crowded image instead of an eager jnp.take (which costs a
+        # separate compile per bucket shape over the axon tunnel) plus the
+        # survivor jit.
+        sp = self._survivor_pass
+        self._survivor_gathered = jax.jit(
+            lambda slab, idx, n, hw: sp(jnp.take(slab, idx, axis=0), n, hw)
+        )
+
     # ------------------------------------------------------------------ api
+    SURVIVOR_BUCKETS = (8, 16, 32, 64, 128, 192, 256)
+
+    def prewarm_survivors(self, buckets=None) -> None:
+        """Compile the bucketed survivor programs ahead of the steady-state
+        loop.  The bucket a crowded image hits depends on its (seed-
+        dependent) detection count, so without this a long `generate_many`
+        run can eat a full XLA compile mid-stream the first time a fresh
+        bucket size appears (the round-2 driver bench's 1864 ms/img
+        mechanism).  in_hw is a traced argument, so one compile per bucket
+        covers every image shape.  Idempotent; ~1 s/bucket warm from the
+        persistent compile cache."""
+        cfg = self.engine_cfg
+        buckets = tuple(buckets) if buckets is not None else (
+            self.SURVIVOR_BUCKETS + (cfg.max_keep,)
+        )
+        r = cfg.low_res
+        slab = jnp.zeros((cfg.max_keep, r, r), jnp.bfloat16)
+        hw = jnp.asarray((cfg.img_size, cfg.img_size), jnp.int32)
+        for b in buckets:
+            if b > cfg.max_keep:
+                continue
+            self._survivor_gathered(
+                slab, jnp.zeros((b,), jnp.int32), jnp.int32(0), hw
+            )
+
     def crop_image(self, image, crop_box):
         x0, y0, x1, y1 = crop_box
         if not isinstance(image, np.ndarray):
@@ -343,22 +385,29 @@ class CrowdSAM:
         data.to_numpy()
         return data
 
-    def generate_many(self, images) -> list:
+    def generate_many(self, images, times_out: Optional[list] = None) -> list:
         """Pipelined multi-image inference: image k+1's device chain
         (encode + engine) is dispatched before image k's host tail (summary
         sync, survivor pass, RLE serialization) runs, so host work overlaps
         device compute.  Falls back to sequential `generate` for multi-crop
-        configs.  Results match `generate` item by item (same RNG stream)."""
+        configs.  Results match `generate` item by item (same RNG stream).
+
+        `times_out`: optional list; wall-clock seconds between successive
+        result completions are appended (bench diagnostics — the deltas
+        sum to the loop total, so per-image variance is visible)."""
         if self.crop_n_layers != 0:
             return [self.generate(im) for im in images]
 
+        import time
         from collections import deque
 
         lookahead = 2  # images in flight: hides upload + host-tail latency
         results = []
         pending = deque()
+        t_last = time.time()
 
         def finalize_one():
+            nonlocal t_last
             data = self._finalize_crop(*pending.popleft())
             out = MaskData()
             if data is not None:
@@ -371,6 +420,10 @@ class CrowdSAM:
                 out["rles"] = []
             out.to_numpy()
             results.append(out)
+            if times_out is not None:
+                now = time.time()
+                times_out.append(now - t_last)
+                t_last = now
 
         for image in images:
             img = np.array(image, dtype=np.uint8) if not isinstance(
@@ -459,6 +512,8 @@ class CrowdSAM:
         self.logger.debug(f"engine consumed {int(res['num_consumed'])} prompts, "
                           f"{n} detections")
         if n == 0:
+            if self.tail_stats is not None:
+                self.tail_stats.append({"n": 0, "path": "none"})
             return None
         idx = np.nonzero(keep)[0]
 
@@ -479,23 +534,27 @@ class CrowdSAM:
                 "packed": res.get("spec_packed"),
             }
             sp_summary = np.asarray(sp["summary"])[:n]
+            if self.tail_stats is not None:
+                self.tail_stats.append({"n": n, "path": "spec"})
         else:
             # Device-side survivor gather into the smallest static bucket
-            # >= n; transfers scale with detections, not the slab.
+            # >= n, fused with the survivor pass into one dispatch;
+            # transfers scale with detections, not the slab.
             bucket = next(
-                b for b in (8, 16, 32, 64, 128, 192, 256, cfg.max_keep)
+                b for b in self.SURVIVOR_BUCKETS + (cfg.max_keep,)
                 if b >= min(n, cfg.max_keep)
             )
             idx_pad = np.zeros(bucket, dtype=np.int32)
             idx_pad[: min(n, bucket)] = idx[:bucket]
-            jidx = jnp.asarray(idx_pad)
-            gathered = jnp.take(res["logits"], jidx, axis=0)
 
-            sp = self._survivor_pass(
-                gathered, jnp.int32(min(n, bucket)),
+            sp = self._survivor_gathered(
+                res["logits"], jnp.asarray(idx_pad),
+                jnp.int32(min(n, bucket)),
                 jnp.asarray((in_h, in_w), jnp.int32),
             )
             sp_summary = np.asarray(sp["summary"])[: min(n, bucket)]
+            if self.tail_stats is not None:
+                self.tail_stats.append({"n": n, "path": bucket})
         keep2 = sp_summary[:, 0] > 0.5
         changed = sp_summary[:, 1] > 0.5
         sel = np.nonzero(keep2)[0]

@@ -87,7 +87,7 @@ def model():
     import jax
     from flax import traverse_util as tu
 
-    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+    from crowdsam_tpu.pipeline.engine import make_eps_engine
 
     def _amp(params, rules):
         flat = tu.flatten_dict(params, sep="/")
@@ -109,7 +109,7 @@ def model():
     m.engine = make_eps_engine(
         m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
         spec_with_masks=m.output_rles)
-    m._survivor_pass = make_survivor_pass(m.engine_cfg, with_masks=m.output_rles)
+    m._build_survivor_programs()
     return m
 
 
@@ -236,7 +236,7 @@ def bound_model():
     import jax
     from flax import traverse_util as tu
 
-    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+    from crowdsam_tpu.pipeline.engine import make_eps_engine
 
     def _amp(params, rules):
         flat = tu.flatten_dict(params, sep="/")
@@ -261,7 +261,7 @@ def bound_model():
     m.engine = make_eps_engine(
         m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
         spec_with_masks=m.output_rles)
-    m._survivor_pass = make_survivor_pass(m.engine_cfg, with_masks=m.output_rles)
+    m._build_survivor_programs()
     return m
 
 
@@ -375,7 +375,7 @@ def multicrop_model():
     import jax
     from flax import traverse_util as tu
 
-    from crowdsam_tpu.pipeline.engine import make_eps_engine, make_survivor_pass
+    from crowdsam_tpu.pipeline.engine import make_eps_engine
 
     def _amp(params, rules):
         flat = tu.flatten_dict(params, sep="/")
@@ -397,7 +397,7 @@ def multicrop_model():
     m.engine = make_eps_engine(
         m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
         spec_with_masks=m.output_rles)
-    m._survivor_pass = make_survivor_pass(m.engine_cfg, with_masks=m.output_rles)
+    m._build_survivor_programs()
     return m
 
 

@@ -139,6 +139,32 @@ def test_generate_many_matches_generate(rng):
             assert a["rles"] == b["rles"]
 
 
+def test_prewarm_survivors_covers_every_bucket(tiny_model):
+    """After prewarm_survivors(), hitting any bucket size with production
+    shapes/dtypes must not trigger a new compile (VERDICT r2 #4: a
+    steady-state generate_many loop must never eat a mid-run XLA compile
+    when a fresh detection count lands in a new bucket)."""
+    import jax.numpy as jnp
+
+    m = tiny_model
+    cfg = m.engine_cfg
+    m.prewarm_survivors()
+    warmed = m._survivor_gathered._cache_size()
+    buckets = m.SURVIVOR_BUCKETS + (cfg.max_keep,)
+    assert warmed == len([b for b in buckets if b <= cfg.max_keep])
+
+    r = cfg.low_res
+    slab = jnp.zeros((cfg.max_keep, r, r), jnp.bfloat16)
+    for b in buckets:
+        # Production callsite shapes: traced in_hw, int32 n, int32 idx.
+        m._survivor_gathered(
+            slab, jnp.zeros((b,), jnp.int32), jnp.int32(min(3, b)),
+            jnp.asarray((200, 256), jnp.int32),
+        )
+    assert m._survivor_gathered._cache_size() == warmed, (
+        "a bucket call compiled a fresh program after prewarm")
+
+
 def test_survivor_device_tail():
     """The survivor pass now does the full-res tail on device: corrections
     (island erased / hole filled), full-res boxes, and RLE change indices
