@@ -1,33 +1,42 @@
 """Benchmark: CrowdHuman-style single-image annotation throughput on TPU.
 
 Runs the full Crowd-SAM pipeline (fused SAM ViT-L + DINOv2 ViT-L/14 encode,
-dense-prompt EPS decode engine, NMS + cleanup + RLE) at the reference's
-default inference config (configs/crowdhuman.yaml: 1024 max size, grid 192,
-max_prompts 500, points_per_batch 32, box_nms 0.65) on a synthetic
-blob-structured 1024x683 image with random weights (no pretrained
-checkpoints exist in this environment; compute/shape behaviour is identical
-to real weights, and the foreground threshold is tuned so the engine
-consumes the full 500-prompt budget — the dense-decode worst case).
+dense-prompt EPS decode engine, NMS + cleanup + RLE + COCO strings) at the
+reference's UNMODIFIED inference config (configs/crowdhuman.yaml: 1024 max
+size, grid 192, max_prompts 500, points_per_batch 32, box_nms 0.65,
+pred_iou 0.1, stability 0.8).
 
-Two regimes are measured:
-- sparse: unmodified random weights (~1 detection; measures encode+engine);
-- crowded: a committed weight-amplification recipe (the oracle fixture's,
-  tests/test_e2e_oracle.py) yielding a CrowdHuman-like detection count at
-  the REFERENCE NMS threshold, so the detection-count-scaled tail
-  (survivor pass, RLE, host COCO strings) is loaded realistically.
+No pretrained checkpoints exist in this environment, and random weights
+are degenerate for perf purposes (near-identical or near-point masks).
+Rounds 1-2 worked around that with weight-amplification recipes and a
+threshold tuner; the r2 VERDICT showed that operating point is fragile.
+Round 3 instead TRAINS the model into a realistic operating point
+(utils/bench_fixture.py): `train.full_decoder` on the synthetic 10-shot
+fixture set (annotation statistics matched to the reference's bundled real
+set) teaches genuine prompt-conditioned person segmentation, so detections
+have person-sized boxes, meaningful fused-IoU scores, and CrowdHuman-like
+NMS survivor counts at reference thresholds — no weight surgery, no
+threshold tuning.  The trained decoder is cached under data/ (first run
+on a machine trains, ~10 min; re-runs load).
 
-Round-3 hardening (VERDICT r2): the bench image is blob-structured (pure
-noise FG maps are degenerate), box_nms is never tuned away from the
-reference 0.65, every survivor bucket is prewarmed before the timed loop,
-the headline is the MEDIAN over BENCH_ITERS, and the JSON carries
-per-iteration times + per-image tail stats so a bad driver run is
-diagnosable from the artifact alone.
+Two scenes, one model:
+- crowded: 22-30 drawn persons (fixture statistics) -> ~100 NMS survivors;
+  loads the detection-count-scaled tail (bucketed survivor pass, per-mask
+  full-res RLE, host COCO strings) the way CrowdHuman val does;
+- sparse: the same background with no people -> few detections; measures
+  the encode + engine floor.
+
+Every survivor bucket is prewarmed before the timed loops, the headline is
+the MEDIAN over BENCH_ITERS (default 10), and the JSON carries
+per-iteration times, keep counts, tail paths, and per-stage probes so a
+bad driver run is diagnosable from the artifact alone (VERDICT r2).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-`vs_baseline` is value / 0.5 img/s — the assumed single-A100 throughput of
-the reference implementation (the repo publishes no timing; ~2 s/image is
-the observed order of magnitude for its 16 sequential 32-prompt decode
-batches with per-batch host syncs plus full-size mask upsampling).
+`vs_baseline` is crowded img/s / 0.5 img/s — the assumed single-A100
+throughput of the reference implementation on crowded CrowdHuman images
+(the repo publishes no timing; ~2 s/image is the observed order of
+magnitude for its 16 sequential 32-prompt decode batches with per-batch
+host syncs plus full-size mask upsampling, reference crowdsam/model.py:192-306,394-443).
 """
 
 import json
@@ -36,163 +45,6 @@ import sys
 import time
 
 import numpy as np
-
-
-def structured_image(seed, h, w, blobs=14):
-    """Deterministic blob-structured image (person-ish upright ellipses over
-    textured background; mirrors tests/test_e2e_oracle.py::_structured_image
-    with CrowdHuman-like blob count/aspect).  Pure uniform noise makes the
-    foreground map and decoded masks degenerate — the r2 bench measured a
-    synthetic pathology because of it (VERDICT r2 weak #3)."""
-    rng = np.random.default_rng(seed)
-    img = rng.integers(0, 120, (h, w, 3), dtype=np.uint8).astype(np.int32)
-    yy, xx = np.mgrid[0:h, 0:w]
-    for _ in range(blobs):
-        cy, cx = rng.integers(0, h), rng.integers(0, w)
-        ry = rng.integers(h // 8, h // 3)       # tall ...
-        rx = max(ry // 3, 12)                    # ... narrow: person-like
-        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
-        img[blob] += int(rng.integers(60, 135))
-    return np.clip(img, 0, 255).astype(np.uint8)
-
-
-def _pick_threshold(sel_logits, nms_thresh):
-    """Place the mask threshold in the probe batch's logit spread so box
-    NMS at the REFERENCE threshold keeps as many prompts as possible.
-
-    Random-weight logit scales vary with model size, so a percentile probe
-    is needed — but the NMS threshold is NOT a tuning knob: the r2 tuner
-    escalated box_nms 0.65 -> 0.995 chasing survivor counts and pushed the
-    driver run into a degenerate operating point (nearly all 500 prompts
-    surviving NMS) that the reference never runs.  If the probe can't find
-    enough survivors at 0.65, the bench proceeds anyway and reports the
-    shortfall loudly in the JSON."""
-    k = sel_logits.shape[0]
-
-    def boxes_of(b):
-        out = np.zeros((k, 4), np.float32)
-        for i in range(k):
-            ys, xs = np.nonzero(b[i])
-            if len(ys):
-                out[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
-        return out
-
-    def nms_count(boxes, nth):
-        keep = np.ones(k, bool)
-        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-        for i in range(k):
-            if not keep[i]:
-                continue
-            for j in range(i + 1, k):
-                if not keep[j]:
-                    continue
-                lt = np.maximum(boxes[i, :2], boxes[j, :2])
-                rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
-                wh = np.clip(rb - lt, 0, None)
-                inter = wh[0] * wh[1]
-                iou = inter / max(area[i] + area[j] - inter, 1e-6)
-                if iou > nth:
-                    keep[j] = False
-        return int(keep.sum())
-
-    best = (float(np.percentile(sel_logits, 97.0)), -1)
-    for q in (80.0, 88.0, 93.0, 96.5, 98.5, 99.5):
-        th = float(np.percentile(sel_logits, q))
-        n = nms_count(boxes_of(sel_logits > th), nms_thresh)
-        if n > best[1]:
-            best = (th, n)
-    return best
-
-
-def make_crowded_model(cfg, probe_image):
-    """A second pipeline whose random weights are shaped to yield a
-    CrowdHuman-like detection count at reference thresholds, so the bench
-    also measures the detection-count-scaled work the sparse number never
-    enters: the speculative/bucketed survivor tail, per-mask full-res RLE
-    extraction, and the host COCO-string tail.
-
-    Mechanism (the committed oracle-fixture recipe,
-    tests/test_e2e_oracle.py::model): amplify the prompt encoder's Fourier
-    matrix + point embeddings (decorrelates prompts) and the hypernetwork/
-    upscale output layers (spreads mask logits) without touching the
-    token/iou/cls paths, then binarize high in the probed logit spread so
-    masks are compact varied blobs.  Only `mask_threshold` is tuned;
-    box_nms stays at the reference value.
-    """
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-    from flax import traverse_util as tu
-
-    from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
-    from crowdsam_tpu.pipeline.engine import make_eps_engine
-
-    model = CrowdSAM(cfg)
-
-    def _amp(params, rules):
-        flat = tu.flatten_dict(params, sep="/")
-        for k in list(flat):
-            for pat, f in rules:
-                if pat in k:
-                    flat[k] = flat[k] * f
-        return tu.unflatten_dict(
-            {tuple(k.split("/")): v for k, v in flat.items()})
-
-    model.sam.params["prompt_encoder"] = _amp(
-        model.sam.params["prompt_encoder"],
-        [("pe_gaussian", 8.0), ("point_embeddings", 8.0)])
-    model.sam.params["mask_decoder"] = _amp(
-        model.sam.params["mask_decoder"],
-        [("hyper_mlps", 6.0), ("upscale_3", 8.0)])
-
-    # Probe one decode batch to place the mask threshold in the logit
-    # spread (compact varied blobs -> varied boxes -> NMS survivors).
-    rng = np.random.default_rng(1)
-    model.crop_image(probe_image, [0, 0, probe_image.shape[1],
-                                   probe_image.shape[0]])
-    p = model.predictor
-    p.set_image_presized(model.image)
-    k = model.engine_cfg.points_per_batch
-    coords = rng.uniform(50, 900, (k, 2)).astype(np.float32)
-
-    @jax.jit  # unjitted on axon, every eager op compiles over the tunnel
-    def _probe_decode(params, emb, dense_pe, dino_proj, coords):
-        sparse, dense = model.sam.prompt_encoder.apply(
-            {"params": params["prompt_encoder"]},
-            points=(coords[:, None, :], jnp.ones((k, 1), jnp.int32)),
-        )
-        return model.sam.mask_decoder.apply(
-            {"params": params["mask_decoder"]},
-            emb, dense_pe, sparse, dense, True, dino_feats_proj=dino_proj,
-        )
-
-    masks, iou, _cls = _probe_decode(
-        model.sam.params, p.get_image_embedding(), p.dense_pe,
-        p.dino_proj_256, jnp.asarray(coords),
-    )
-    m = np.asarray(masks, np.float32)
-    sel = m[np.arange(k), np.asarray(iou).argmax(1)]
-    nms_th = model.engine_cfg.box_nms_thresh  # reference 0.65, untouched
-    th, probe_n = _pick_threshold(sel, nms_th)
-    p.reset_image()
-    shortfall = probe_n < k // 2
-    print(f"# crowded tuner: mask_threshold {th:.2f}, box_nms {nms_th} "
-          f"(reference, fixed), probe survivors {probe_n}/{k}"
-          + (" — SHORTFALL: fewer than half the probe prompts survive at "
-             "the reference operating point; proceeding at the committed "
-             "recipe anyway" if shortfall else ""),
-          file=sys.stderr)
-
-    model.engine_cfg = dataclasses.replace(
-        model.engine_cfg, mask_threshold=th)
-    model.engine = make_eps_engine(
-        model.sam.prompt_encoder, model.sam.mask_decoder, model.engine_cfg,
-        spec_with_masks=model.output_rles)
-    model._build_survivor_programs()
-    return model, {"mask_threshold": th, "box_nms": nms_th,
-                   "probe_survivors": probe_n, "probe_batch": k,
-                   "probe_shortfall": bool(shortfall)}
 
 
 def stage_probe(model, image):
@@ -231,6 +83,24 @@ def _stats(times_s):
     }
 
 
+def _timed_regime(model, image, iters):
+    """Steady-state generate_many over `iters` copies of `image` with tail
+    diagnostics collected."""
+    model.tail_stats = []
+    times = []
+    t0 = time.time()
+    results = model.generate_many([image] * iters, times_out=times)
+    wall = (time.time() - t0) / iters
+    stats = _stats(times)
+    stats["wall_ms_per_img"] = round(wall * 1000, 1)
+    diag = {
+        "keep_counts": [t["n"] for t in model.tail_stats],
+        "tail_paths": [t["path"] for t in model.tail_stats],
+    }
+    model.tail_stats = None
+    return results[-1], stats, diag
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
     import jax
@@ -245,26 +115,30 @@ def main():
 
     from crowdsam_tpu.config import load_config, modify_config
     from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+    from crowdsam_tpu.utils.bench_fixture import (
+        crowd_scene, sparse_scene, train_or_load_decoder)
 
     cfg = modify_config(load_config("configs/crowdhuman.yaml"), [
         "model.sam_checkpoint", "",
         "model.dino_checkpoint", "",
         "model.sam_adapter_checkpoint", "",
-        # Random-weight FG logits are near-symmetric around 0; threshold 0.4
-        # (vs 0.5) guarantees a dense candidate field -> full prompt budget.
-        "test.pos_sim_thresh", "0.4",
-        "test.pred_iou_thresh", "0.0",
-        "test.stability_score_thresh", "0.0",
     ])
 
-    # Deterministic blob-structured bench image (see structured_image).
-    image = structured_image(0, 683, 1024)
-
     model = CrowdSAM(cfg)
-    crowded, tuner = make_crowded_model(cfg, image)
+    t0 = time.time()
+    fixture_meta = train_or_load_decoder(
+        model,
+        steps=int(os.environ.get("BENCH_TRAIN_STEPS", "800")),
+        lr=float(os.environ.get("BENCH_TRAIN_LR", "2e-4")))
+    train_s = time.time() - t0
+    print(f"# trained fixture: {fixture_meta} ({train_s:.0f}s)",
+          file=sys.stderr)
 
-    batch = int(os.environ.get("BENCH_BATCH", "0"))
+    crowd_img, gt_boxes = crowd_scene(0)
+    sparse_img = sparse_scene(7)
+
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "0"))
     extra = {}
     if batch > 1:
         # Batched/sharded throughput mode (images amortize dispatch +
@@ -273,88 +147,72 @@ def main():
 
         pipe = ShardedPipeline(model, mesh=None, batch=batch)
         t0 = time.time()
-        results = pipe.generate_batch([image] * batch)
+        pipe.generate_batch([crowd_img] * batch)
         compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(iters):
-            results = pipe.generate_batch([image] * batch)
+            results = pipe.generate_batch([crowd_img] * batch)
         total = time.time() - t0
-        sparse = {"median_ms": round(total / (iters * batch) * 1000, 1),
-                  "mean_ms": round(total / (iters * batch) * 1000, 1),
-                  "min_ms": None, "iters_ms": []}
-        result = results[0]
+        per_img = total / (iters * batch) * 1000
+        crowd = {"median_ms": round(per_img, 1), "mean_ms": round(per_img, 1),
+                 "min_ms": None, "iters_ms": [],
+                 "wall_ms_per_img": round(per_img, 1)}
+        cdiag = {"keep_counts": [], "tail_paths": []}
+        cresult = results[0]
+        sparse = dict(crowd)  # batch mode times the crowded scene only
+        sresult, sdiag = cresult, cdiag
+        extra["batch"] = batch
     else:
         # Warmup / compile, then prewarm every survivor bucket so the
         # steady-state loop can never hit a fresh XLA compile (VERDICT r2:
         # the 1864 ms/img driver capture was in-loop bucket compiles).
         t0 = time.time()
-        result = model.generate(image)
+        model.generate(crowd_img)
+        model.generate(sparse_img)
         model.prewarm_survivors()
         compile_s = time.time() - t0
 
-        # Steady state: pipelined multi-image path (host tail of image k
-        # overlaps device compute of image k+1).
-        times = []
-        t0 = time.time()
-        results = model.generate_many([image] * iters, times_out=times)
-        wall = (time.time() - t0) / iters
-        sparse = _stats(times)
-        sparse["wall_ms_per_img"] = round(wall * 1000, 1)
-        result = results[-1]
+        cresult, crowd, cdiag = _timed_regime(model, crowd_img, iters)
+        sresult, sparse, sdiag = _timed_regime(model, sparse_img, iters)
 
-    n_det = len(result["boxes"])
-    value = 1000.0 / sparse["median_ms"]
-
-    # Crowded regime: same pipeline under a CrowdHuman-like detection load.
-    t0 = time.time()
-    crowded.generate(image)
-    crowded.prewarm_survivors()
-    crowded_compile_s = time.time() - t0
-
-    crowded.tail_stats = []
-    ctimes = []
-    t0 = time.time()
-    cresults = crowded.generate_many([image] * iters, times_out=ctimes)
-    cwall = (time.time() - t0) / iters
-    crowd = _stats(ctimes)
-    crowd["wall_ms_per_img"] = round(cwall * 1000, 1)
-    cn_det = len(cresults[-1]["boxes"])
+    cn_det = len(cresult["boxes"])
+    sn_det = len(sresult["boxes"])
     cvalue = 1000.0 / crowd["median_ms"]
-    keep_counts = [t["n"] for t in crowded.tail_stats]
-    paths = [t["path"] for t in crowded.tail_stats]
-    crowded.tail_stats = None
+    svalue = 1000.0 / sparse["median_ms"]
 
     # Per-stage attribution probes (post-timing: they re-run the chain).
-    stages = {"sparse": stage_probe(model, image),
-              "crowded": stage_probe(crowded, image)}
+    stages = {"crowded": stage_probe(model, crowd_img),
+              "sparse": stage_probe(model, sparse_img)}
 
     out = {
-        "metric": "CrowdHuman val images/sec/chip (dense-prompt decode)",
-        "value": round(value, 4),
+        "metric": "CrowdHuman crowded images/sec/chip (trained fixture, "
+                  "reference thresholds)",
+        "value": round(cvalue, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / 0.5, 3),
+        "vs_baseline": round(cvalue / 0.5, 3),
         "crowded_img_s": round(cvalue, 4),
         "crowded_vs_baseline": round(cvalue / 0.5, 3),
+        "sparse_img_s": round(svalue, 4),
         "crowded_detections": cn_det,
-        "sparse_detections": n_det,
-        "sparse": sparse,
+        "crowded_gt_persons": len(gt_boxes),
+        "sparse_detections": sn_det,
         "crowded": crowd,
-        "crowded_keep_counts": keep_counts,
-        "crowded_tail_paths": paths,
-        "tuner": tuner,
+        "sparse": sparse,
+        "crowded_diag": cdiag,
+        "sparse_diag": sdiag,
+        "fixture": {**fixture_meta, "train_s": round(train_s, 1)},
         "stages": stages,
         "compile_s": round(compile_s, 1),
-        "crowded_compile_s": round(crowded_compile_s, 1),
         "backend": jax.default_backend(),
         **extra,
     }
     print(json.dumps(out))
     print(
-        f"# compile {compile_s:.1f}s, sparse median {sparse['median_ms']:.0f}"
-        f" ms/img ({n_det} det), backend={jax.default_backend()}; crowded:"
-        f" compile {crowded_compile_s:.1f}s, median {crowd['median_ms']:.0f}"
-        f" ms/img ({cn_det} det, keep counts {keep_counts},"
-        f" tail paths {paths})",
+        f"# compile {compile_s:.1f}s; crowded median {crowd['median_ms']:.0f}"
+        f" ms/img ({cn_det} det / {len(gt_boxes)} gt, keep"
+        f" {cdiag['keep_counts'][:4]}..., paths {cdiag['tail_paths'][:4]}...),"
+        f" sparse median {sparse['median_ms']:.0f} ms/img ({sn_det} det),"
+        f" backend={jax.default_backend()}",
         file=sys.stderr,
     )
 

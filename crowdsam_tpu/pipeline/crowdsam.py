@@ -520,7 +520,10 @@ class CrowdSAM:
         # Fast path: the engine already ran the survivor tail speculatively
         # on the top spec_survivors detections (they sort first), so no
         # second dispatch + device wait is needed when the count fits.
-        spec = cfg.spec_survivors
+        # (The engine clamps the tail to its survivor-slab size for tiny
+        # configs — read the actual row count, not cfg.spec_survivors.)
+        spec = (res["spec_summary"].shape[0]
+                if "spec_summary" in res else cfg.spec_survivors)
         if (
             "spec_summary" in res
             and n <= spec

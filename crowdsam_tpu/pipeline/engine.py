@@ -407,7 +407,10 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
                                   allow_kernel=spec_allow_kernel)
             n_keep = jnp.sum(keep_nms).astype(jnp.int32)
             in_hw_i = input_hw.astype(jnp.int32)
-            spec_n = cfg.spec_survivors
+            # The survivor slab holds min(max_keep, SLAB) rows; a
+            # spec_survivors larger than that (tiny demo/test configs)
+            # must clamp, or the lax.cond tiers pad to different sizes.
+            spec_n = min(cfg.spec_survivors, out["logits"].shape[0])
 
             def tail(slots):
                 def f():

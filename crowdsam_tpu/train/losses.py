@@ -65,6 +65,7 @@ def adapter_loss(
     fg_mask: jnp.ndarray,            # (R, R) binary union of GT
     region_valid: jnp.ndarray,       # (R, R) valid-region mask (256-scale crop)
     num_pos: int,
+    mask_loss: bool = False,
 ):
     """Composite adapter loss (reference `tools/train.py:147-204`):
     - MSE between fused IoU and the true mIoU of each positive's masks
@@ -88,8 +89,17 @@ def adapter_loss(
         (fg_mask[None] * v)[None],
     ).mean()
 
-    return {
+    out = {
         "pos_cls_loss": pos_cls_loss,
         "neg_cls_loss": neg_cls_loss,
         "dice_loss": fg_dice,
     }
+    if mask_loss:
+        # TPU-repo extension for full-decoder training (train.full_decoder,
+        # no pretrained SAM in this environment): supervise the predicted
+        # masks themselves.  The reference's adapter set never touches the
+        # mask path, so it has no such term (tools/train.py:147-204).
+        # Best-of-K like SAM: only the closest head per prompt gets gradient.
+        per_k = dice_loss(pos_masks, target_masks[:, None])  # (P_pos, K)
+        out["mask_dice_loss"] = per_k.min(axis=1).mean()
+    return out

@@ -38,9 +38,19 @@ from crowdsam_tpu.utils.logging import get_logger
 ADAPTER_KEYS = ("parallel_iou_head", "point_classifier", "dino_proj")
 
 
-def split_adapter_params(dec_params: Dict[str, Any]):
-    """Decoder params -> (adapter subtree, frozen subtree)."""
+def split_adapter_params(dec_params: Dict[str, Any], full: bool = False):
+    """Decoder params -> (adapter subtree, frozen subtree).
+
+    `full=True` makes the ENTIRE mask decoder trainable — a TPU-repo
+    extension beyond the reference's head-only adapter set (reference
+    tools/train.py:289-300 freezes everything but the PWD heads because it
+    starts from pretrained SAM).  Used when no pretrained SAM exists
+    (bench fixtures in this environment): with random frozen weights only
+    full-decoder training can learn prompt-conditioned masks.  Config:
+    `train.full_decoder: true`."""
     flat = traverse_util.flatten_dict(dec_params)
+    if full:
+        return traverse_util.unflatten_dict(dict(flat)), {}
     adapter = {k: v for k, v in flat.items() if k[0] in ADAPTER_KEYS}
     frozen = {k: v for k, v in flat.items() if k[0] not in ADAPTER_KEYS}
     return (
@@ -84,6 +94,7 @@ class AdapterTrainer:
         self.lr = tr["lr"]
         self.weight_decay = tr["weight_decay"]
         self.seed = tr.get("seed", 1)
+        self.full_decoder = bool(tr.get("full_decoder", False))
         self.clip_grad = 0.1
         self.low_res = self.sam.img_size // 4
 
@@ -112,12 +123,23 @@ class AdapterTrainer:
             )
             padded = np.zeros((maxb, 4), dtype=np.float32)
             padded[: len(boxes)] = tb
-            _, _, _, low_res = self.predictor.predict_batch(
-                boxes=jnp.asarray(padded),
-                multimask_output=False,
-                return_full_masks=False,
-            )
-            m = np.array(low_res[:, 0] > self.sam.mask_threshold)
+            if self.full_decoder:
+                # Full-decoder training (no pretrained SAM): pseudo-GT from
+                # the model's own GT-box decodes would be random-weight
+                # noise, so the targets are the GT boxes themselves as
+                # filled rectangles in the low-res (input/4) frame.
+                m = np.zeros((maxb, self.low_res, self.low_res), bool)
+                for bi, bx in enumerate(tb / 4.0):
+                    x0, y0 = np.floor(bx[:2]).astype(int)
+                    x1, y1 = np.ceil(bx[2:]).astype(int)
+                    m[bi, max(y0, 0): y1 + 1, max(x0, 0): x1 + 1] = True
+            else:
+                _, _, _, low_res = self.predictor.predict_batch(
+                    boxes=jnp.asarray(padded),
+                    multimask_output=False,
+                    return_full_masks=False,
+                )
+                m = np.array(low_res[:, 0] > self.sam.mask_threshold)
             m[len(boxes):] = False
             feats.append(np.asarray(self.predictor.features[0]))
             dinos.append(np.asarray(self.predictor.dino_feats[0]))
@@ -243,6 +265,7 @@ class AdapterTrainer:
                 masks, fused_iou, cls_map,
                 tmasks, fg.astype(jnp.float32), valid.astype(jnp.float32),
                 num_pos=pos_n,
+                mask_loss=self.full_decoder,
             )
             return sum(losses.values()), losses
 
@@ -282,7 +305,25 @@ class AdapterTrainer:
 
         cache = self.cache_features(dataset)
         n_cached = int(cache["features"].shape[0])
-        adapter_p, frozen_p = split_adapter_params(self.sam.params["mask_decoder"])
+        adapter_p, frozen_p = split_adapter_params(
+            self.sam.params["mask_decoder"], full=self.full_decoder)
+        _KERNEL_FLAGS = ("CROWDSAM_DISABLE_MASK_HEAD_KERNEL",
+                         "CROWDSAM_DISABLE_TAIL_KERNEL",
+                         "CROWDSAM_DISABLE_PALLAS_LN",
+                         "CROWDSAM_DISABLE_FLASH",
+                         "CROWDSAM_DISABLE_FUSED_WINDOW")
+        _saved_flags = {f: os.environ.get(f) for f in _KERNEL_FLAGS}
+        if self.full_decoder:
+            # The decoder's Pallas inference kernels (mask head / decode
+            # tail / fused LN) have no VJP; with the full decoder trainable
+            # the backward pass hits them.  Gating is read at trace time, so
+            # disabling for the duration of the loop (the jitted step traces
+            # on its first call) selects the differentiable jnp paths; the
+            # env is restored afterwards so inference programs traced later
+            # keep their kernels.  Head-only adapter training never
+            # differentiates through the kernels — reference set unchanged.
+            for flag in _KERNEL_FLAGS:
+                os.environ[flag] = "1"
         tx, train_step = self._build_step(cache)
         opt_state = tx.init(adapter_p)
         key = jax.random.PRNGKey(self.seed)
@@ -301,28 +342,36 @@ class AdapterTrainer:
             self.logger.info(f"resumed from {ckpt_path} at step {start_step}")
 
         t0 = time.time()
-        for step in range(start_step, self.steps):
-            shot = jnp.int32(step % n_cached)
-            step_key = jax.random.fold_in(key, step)
-            adapter_p, opt_state, total, losses = train_step(
-                adapter_p, frozen_p, opt_state, shot, step_key
-            )
-            if step % 100 == 0:
-                ld = {k: round(float(v), 3) for k, v in losses.items()}
-                rate = (step - start_step + 1) / (time.time() - t0)
-                self.logger.info(
-                    f"step: {step}/{self.steps} "
-                    + " ".join(f"{k}: {v}" for k, v in ld.items())
-                    + f" ({rate:.1f} it/s)"
+        try:
+            for step in range(start_step, self.steps):
+                shot = jnp.int32(step % n_cached)
+                step_key = jax.random.fold_in(key, step)
+                adapter_p, opt_state, total, losses = train_step(
+                    adapter_p, frozen_p, opt_state, shot, step_key
                 )
-            if ckpt_path and (step + 1) % checkpoint_every == 0:
-                save_pytree(ckpt_path, {
-                    "step": np.asarray(step + 1),
-                    "adapter": jax.tree_util.tree_map(np.asarray, adapter_p),
-                    "opt_state": jax.tree_util.tree_map(
-                        np.asarray, _opt_state_to_dict(opt_state)
-                    ),
-                })
+                if step % 100 == 0:
+                    ld = {k: round(float(v), 3) for k, v in losses.items()}
+                    rate = (step - start_step + 1) / (time.time() - t0)
+                    self.logger.info(
+                        f"step: {step}/{self.steps} "
+                        + " ".join(f"{k}: {v}" for k, v in ld.items())
+                        + f" ({rate:.1f} it/s)"
+                    )
+                if ckpt_path and (step + 1) % checkpoint_every == 0:
+                    save_pytree(ckpt_path, {
+                        "step": np.asarray(step + 1),
+                        "adapter": jax.tree_util.tree_map(
+                            np.asarray, adapter_p),
+                        "opt_state": jax.tree_util.tree_map(
+                            np.asarray, _opt_state_to_dict(opt_state)
+                        ),
+                    })
+        finally:
+            for flag, old in _saved_flags.items():
+                if old is None:
+                    os.environ.pop(flag, None)
+                else:
+                    os.environ[flag] = old
 
         new_dec = merge_params(adapter_p, frozen_p)
         self.sam.params["mask_decoder"] = new_dec

@@ -24,6 +24,16 @@ def fast_random_init(module, *args, seed: int = 0, scale: float = 0.02, **kwargs
     flat = traverse_util.flatten_dict(shapes)
     rng = np.random.default_rng(seed)
     out = {}
+    # Reference-faithful unit-scale leaves: SAM's positional Fourier matrix
+    # is `scale * randn` with scale=1 (reference prompt_encoder.py:186) and
+    # its prompt/token embeddings are torch nn.Embedding defaults = N(0,1).
+    # A uniform 0.02 init here leaves the PE matrix with near-zero
+    # frequencies — the positional kernel is then CONSTANT across the
+    # image and random-weight prompts become positionally
+    # indistinguishable (every prompt decodes the same mask), which
+    # poisoned every random-weight fixture through round 2.
+    _UNIT = ("pe_gaussian", "point_embeddings", "not_a_point_embed",
+             "no_mask_embed", "iou_token", "mask_tokens")
     for path, leaf in flat.items():
         name = path[-1]
         shape = tuple(leaf.shape)
@@ -35,6 +45,8 @@ def fast_random_init(module, *args, seed: int = 0, scale: float = 0.02, **kwargs
             val = np.full(shape, 1e-5, np.float32)
         elif name == "pos_embed":
             val = rng.normal(0, 0.02, shape).astype(np.float32)
+        elif name in _UNIT:
+            val = rng.normal(0, 1.0, shape).astype(np.float32)
         else:
             val = rng.normal(0, scale, shape).astype(np.float32)
         out[path] = jnp.asarray(val)

@@ -110,3 +110,77 @@ def test_short_training_run_updates_only_adapter(ten_shot_root):
         )
     ]
     assert max(diffs) > 0
+
+
+def test_adapter_loss_mask_term():
+    p, k, r = 6, 4, 16
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.normal(size=(p, k, r, r)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(p, k)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, r, r)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(3, r, r)) > 0.5),
+        jnp.asarray((rng.uniform(size=(r, r)) > 0.5).astype(np.float32)),
+        jnp.ones((r, r)),
+    )
+    losses = adapter_loss(*args, num_pos=3, mask_loss=True)
+    assert "mask_dice_loss" in losses and np.isfinite(
+        float(losses["mask_dice_loss"]))
+    # default (reference) loss set has no mask term
+    assert "mask_dice_loss" not in adapter_loss(*args, num_pos=3)
+
+
+def test_split_full_decoder():
+    tree = {
+        "dino_proj": {"kernel": jnp.ones((4, 2))},
+        "transformer": {"layers_0": {"norm1": {"weight": jnp.ones((2,))}}},
+    }
+    adapter, frozen = split_adapter_params(tree, full=True)
+    assert set(adapter) == {"dino_proj", "transformer"}
+    assert frozen == {}
+
+
+@pytest.mark.slow
+def test_full_decoder_training_updates_mask_path(ten_shot_root):
+    """train.full_decoder: the WHOLE decoder trains (TPU-repo extension,
+    see trainer.py docstring), with box-rectangle targets and the mask
+    dice term; the kernel-disable env flags are restored afterwards."""
+    import os
+
+    from crowdsam_tpu.config import load_config, modify_config
+    from crowdsam_tpu.models.build import sam_model_registry
+    from crowdsam_tpu.models.dinov2 import dino_model_registry
+    from crowdsam_tpu.pipeline.predictor import SamPredictor
+    from crowdsam_tpu.train.dataset import CrowdHumanDataset
+    from crowdsam_tpu.utils.init import fast_random_init
+
+    cfg = modify_config(load_config(None), [
+        "train.n_shot", "2", "train.steps", "4",
+        "train.samples_per_batch", "4",
+        "train.lr", "0.001", "train.full_decoder", "True",
+    ])
+    sam = sam_model_registry["vit_tiny"](n_class=1, dtype=jnp.float32,
+                                         dino_dim=384)
+    dino = dino_model_registry["dinov2_vits14"](dtype=jnp.float32)
+    dino_params = fast_random_init(dino, jnp.zeros((1, 28, 28, 3)), seed=0)
+    predictor = SamPredictor(sam, dino, dino_params)
+    dataset = CrowdHumanDataset(
+        ten_shot_root, ten_shot_root + "/train_crowdhuman_10shot.json")
+
+    before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), sam.params["mask_decoder"])
+    trainer = AdapterTrainer(cfg, predictor)
+    assert trainer.full_decoder
+    new_dec = trainer.train(dataset)
+
+    # The (reference-)frozen mask path now updates too.
+    _, f_before = split_adapter_params(before)
+    from flax import traverse_util
+    fb = traverse_util.flatten_dict(f_before)
+    fa = {k: v for k, v in traverse_util.flatten_dict(new_dec).items()
+          if k in fb}
+    changed = any(
+        np.abs(np.asarray(fb[k]) - np.asarray(fa[k])).max() > 0 for k in fb)
+    assert changed
+    # env restored (trace-time kernel gating must not leak to inference)
+    assert not os.environ.get("CROWDSAM_DISABLE_MASK_HEAD_KERNEL")
