@@ -203,6 +203,21 @@ def encode_changes_coco(changes: np.ndarray, total: int,
             "counts": _compress_counts_py([int(c) for c in counts])}
 
 
+def unpack_cand10(cand_packed: "np.ndarray") -> "np.ndarray":
+    """Decode the survivor kernel's packed candidate table: (..., W, S)
+    int32 words holding 3 x 10-bit change-row positions each ->
+    (..., 3W, S) slot-major rows (slot s = word s//3, field s%3 from the
+    high bits).  Vectorized over any leading batch dims."""
+    import numpy as np
+
+    c = np.asarray(cand_packed)
+    r0 = (c >> 20) & 0x3FF
+    r1 = (c >> 10) & 0x3FF
+    r2 = c & 0x3FF
+    out = np.stack([r0, r1, r2], axis=-2)       # (..., W, 3, S)
+    return out.reshape(*c.shape[:-2], c.shape[-2] * 3, c.shape[-1])
+
+
 def svals_from_cand(cand: "np.ndarray", n_col: "np.ndarray",
                     in_h: int) -> "np.ndarray":
     """Flatten the survivor kernel's per-column change candidates into the

@@ -26,7 +26,18 @@ and no Mosaic-unfriendly reshapes/transposes appear:
 - bit packing            = mask @ W_PACK (S, S/8) with power-of-two
   weights (exact in f32 accumulation);
 - per-column change rows = iterative masked row-min extraction
-  (_COL_SLOTS rounds of where/min reductions — no cumsum).
+  (_COL_SLOTS rounds of where/min reductions — no cumsum), packed three
+  10-bit row positions per int32 lane so 24 slots ship in 8 i32 rows
+  (rows are < S <= 1024; empty slots clamp to S-1 and are never read —
+  the host walks exactly n_col entries per column).
+
+_COL_SLOTS is 24 (r3): trained person-sized masks have ragged upsampled
+boundaries whose worst column crosses ~10-22 times (measured p50 10 /
+max 22 at the trained bench operating point, tools/profile_packed_fallback
+.py); the r2 budget of 8 routed ~60% of crowded masks to the packed-bitmap
+fallback — whose host unpack+encode cost ~40 ms/mask and dominated the r3
+first bench capture (3.3 s/img).  The packing keeps the host transfer at
+the r2 size.
 
 Numerics: interpolation runs in f32 on bf16 inputs (MXU f32 accumulation);
 mask bits can differ from the XLA path only where an upsampled logit sits
@@ -43,7 +54,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_COL_SLOTS = 8  # matches pipeline/engine.py
+_COL_SLOTS = 24       # per-column change-row budget (see module docstring)
+_CAND_WORDS = _COL_SLOTS // 3  # 3 x 10-bit positions packed per i32 lane
 
 
 def survivor_kernel_enabled() -> bool:
@@ -178,7 +190,10 @@ def _kernel(hw_ref, logits_ref, edit_ref, mrow_ref, mcol_ref, erow_ref,
     total = jnp.sum(n_col)
     overflow = jnp.max(n_col) > float(_COL_SLOTS)
 
-    # First _COL_SLOTS change rows per column by iterative masked row-min.
+    # First _COL_SLOTS change rows per column by iterative masked row-min,
+    # packed 3 x 10-bit per int32 word (empty slots clamp to S-1; the host
+    # walks exactly n_col entries per column, so the sentinel is never
+    # read).
     remaining = change if stage >= 3 else jnp.zeros_like(change)
     cand_rows = []
     sub_iota = row_i.astype(f32)
@@ -186,8 +201,14 @@ def _kernel(hw_ref, logits_ref, edit_ref, mrow_ref, mcol_ref, erow_ref,
         pos = jnp.min(
             jnp.where(remaining > 0, sub_iota, big), axis=0, keepdims=True
         )                                               # (1, S)
-        cand_rows.append(pos)
+        cand_rows.append(
+            jnp.minimum(pos, float(s - 1)).astype(jnp.int32))
         remaining = jnp.where(sub_iota == pos, 0.0, remaining)
+    cand_words = [
+        cand_rows[3 * t] * 1048576 + cand_rows[3 * t + 1] * 1024
+        + cand_rows[3 * t + 2]
+        for t in range(_CAND_WORDS)
+    ]
 
     lane1 = lane_f[0]                                   # (S,)
     scal = jnp.where(lane1 == 0, x0,
@@ -198,9 +219,12 @@ def _kernel(hw_ref, logits_ref, edit_ref, mrow_ref, mcol_ref, erow_ref,
            jnp.where(lane1 == 5, total,
            jnp.where(lane1 == 6, overflow.astype(f32), 0.0)))))))
     misc = jnp.concatenate(
-        cand_rows + [n_col, scal[None], jnp.zeros((6, s), f32)], axis=0
+        cand_words
+        + [n_col.astype(jnp.int32), scal[None].astype(jnp.int32),
+           jnp.zeros((16 - _CAND_WORDS - 2, s), jnp.int32)],
+        axis=0,
     )                                                   # (16, S)
-    misc_ref[0] = misc.astype(jnp.int32)
+    misc_ref[0] = misc
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "interpret", "stage"))
@@ -209,7 +233,10 @@ def survivor_rle_pallas(logits, edit, in_hw, thresh: float = 0.0,
     """logits (K, R, R) bf16/f32, edit (K, R, R) int8 in {-1, 0, +1},
     in_hw (2,) or per-mask (K, 2) int32 -> dict:
       packed (K, S, S//8) uint8 — upsampled+edited+valid-masked mask bits
-      cand   (K, 8, S) int32    — first 8 change rows per column (S if none)
+      cand   (K, 8, S) int32    — first _COL_SLOTS=24 change rows per
+                                  column, 3 x 10-bit packed per word
+                                  (ops.rle.unpack_cand10 to decode; empty
+                                  slots clamp to S-1, never read)
       n_col  (K, S) int32       — change count per column
       summary (K, 8) int32      — [x0, y0, x1, y1, nonempty, total_changes,
                                    overflow, 0]
@@ -266,7 +293,9 @@ def survivor_rle_pallas(logits, edit, in_hw, thresh: float = 0.0,
     packed, misc = out
     return {
         "packed": packed.astype(jnp.uint8),
-        "cand": misc[:, :_COL_SLOTS, :],
-        "n_col": misc[:, _COL_SLOTS, :],
-        "summary": misc[:, _COL_SLOTS + 1, :8],
+        # 3 x 10-bit packed change rows per lane; decode with
+        # ops.rle.unpack_cand10 (host) before svals_from_cand.
+        "cand": misc[:, :_CAND_WORDS, :],
+        "n_col": misc[:, _CAND_WORDS, :],
+        "summary": misc[:, _CAND_WORDS + 1, :8],
     }

@@ -594,8 +594,10 @@ class CrowdSAM:
             total = in_h * in_w
             if sp.get("rle_cand") is not None:
                 # Survivor-kernel path: compact per-column candidate table
-                # + counts; build each change list on host (svals_from_cand).
-                cand = np.asarray(sp["rle_cand"])[sel]
+                # (3 x 10-bit packed rows) + counts; decode once for all
+                # masks, then build each change list (svals_from_cand).
+                cand = rle_ops.unpack_cand10(
+                    np.asarray(sp["rle_cand"])[sel])
                 ncol = np.asarray(sp["rle_ncol"])[sel]
                 maxc = self.engine_cfg.max_rle_changes
                 sval_of = lambda i: rle_ops.svals_from_cand(

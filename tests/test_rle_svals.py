@@ -86,7 +86,7 @@ def test_svals_from_cand_matches_xla_path(rng):
 
     svals_xla = np.asarray(out_x["rle_svals"])
     summary = np.asarray(out_x["summary"])
-    cand = np.asarray(out_k["cand"])
+    cand = rle_ops.unpack_cand10(np.asarray(out_k["cand"]))
     ncol = np.asarray(out_k["n_col"])
     packed = np.asarray(out_k["packed"])
     total = in_h * in_w

@@ -90,14 +90,17 @@ def test_kernel_matches_reference(rng, in_hw):
     np.testing.assert_array_equal(summary[:, :4], ref["boxes"])
     np.testing.assert_array_equal(summary[:, 4] > 0, ref["nonempty"])
     np.testing.assert_array_equal(summary[:, 5], ref["total"])
-    # candidate rows agree wherever the column has < _COL_SLOTS changes
-    # (the kernel reports S for exhausted slots, the reference too)
-    cand = np.asarray(out["cand"])
-    s = 4 * r
+    # candidate rows agree on every VALID slot (slot < n_col); exhausted
+    # slots are a never-read sentinel (kernel: S-1 after the 10-bit clamp,
+    # reference: S) and are excluded from the comparison.
+    from crowdsam_tpu.ops.rle import unpack_cand10
+
+    cand = unpack_cand10(np.asarray(out["cand"]))
     for i in range(k):
-        ok = ref["n_col"][i] <= _COL_SLOTS
-        np.testing.assert_array_equal(cand[i][:, ok],
-                                      np.minimum(ref["cand"][i][:, ok], s))
+        valid = (np.arange(_COL_SLOTS)[:, None]
+                 < np.minimum(ref["n_col"][i], _COL_SLOTS)[None, :])
+        np.testing.assert_array_equal(cand[i][valid],
+                                      ref["cand"][i][valid])
     # overflow flag: no column here exceeds the slot budget
     assert (summary[:, 6] == (ref["n_col"].max(axis=1) > _COL_SLOTS)).all()
 
