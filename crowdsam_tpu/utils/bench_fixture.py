@@ -33,6 +33,16 @@ import numpy as np
 CACHE_PATH = os.path.join("data", "bench_trained_decoder.msgpack")
 
 
+def cache_path_for(steps: int, lr: float) -> str:
+    """Cache file keyed by the training recipe, so probing a different
+    steps/lr can never silently load another recipe's weights.  The
+    default recipe (800 steps, lr 2e-4) keeps the legacy unkeyed name so
+    existing machine-local caches stay valid."""
+    if steps == 800 and abs(lr - 2e-4) < 1e-12:
+        return CACHE_PATH
+    return os.path.join("data", f"bench_trained_decoder_s{steps}_lr{lr:g}.msgpack")
+
+
 def crowd_scene(seed: int, h: int = 683, w: int = 1024,
                 people=(22, 30)):
     """A deterministic crowd scene drawn with the fixture set's person
@@ -71,7 +81,7 @@ def sparse_scene(seed: int, h: int = 683, w: int = 1024):
 
 
 def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
-                          cache_path: str = CACHE_PATH, logger=None):
+                          cache_path: str = None, logger=None):
     """Train the full decoder on the synthetic 10-shot set (or load the
     cached result) and install it into `model` (a CrowdSAM).
 
@@ -82,6 +92,8 @@ def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
     from crowdsam_tpu.config import modify_config
     from crowdsam_tpu.utils.checkpoint import load_pytree, save_pytree
 
+    if cache_path is None:
+        cache_path = cache_path_for(steps, lr)
     meta = {"trained_steps": steps, "trained_lr": lr}
     if cache_path and os.path.exists(cache_path):
         state = load_pytree(cache_path)
