@@ -312,9 +312,34 @@ class CrowdSAM:
         self._survivor_gathered = jax.jit(
             lambda slab, idx, n, hw: sp(jnp.take(slab, idx, axis=0), n, hw)
         )
+        # Device-side row gather for the packed-bitmap overflow fallback.
+        # np.asarray(sp["packed"]) would ship the WHOLE slab (16 MB at
+        # bucket 128, 42 MB at 320) over the ~60 MB/s tunnel whenever even
+        # one mask overflows its RLE change budget; gathering the (padded)
+        # overflow rows on device ships ~131 KB per overflow mask instead.
+        self._packed_gather = jax.jit(
+            lambda packed, idx: jnp.take(packed, idx, axis=0)
+        )
+        self._survivors_prewarmed = False  # new programs, fresh compiles
 
     # ------------------------------------------------------------------ api
     SURVIVOR_BUCKETS = (8, 16, 32, 64, 128, 192, 256)
+    _OVERFLOW_PAD = 8  # packed-row gather slots per dispatch (fixed shape)
+
+    def _gather_packed_rows(self, packed, rows: np.ndarray) -> np.ndarray:
+        """Fetch `rows` of a device-resident packed-bitmap slab, gathering
+        on device in fixed-size chunks so the host transfer scales with the
+        (rare) overflow count, not the slab."""
+        pad = self._OVERFLOW_PAD
+        out = []
+        for start in range(0, len(rows), pad):
+            chunk = rows[start:start + pad]
+            idx = np.zeros(pad, np.int32)
+            idx[: len(chunk)] = chunk
+            out.append(np.asarray(
+                self._packed_gather(packed, jnp.asarray(idx))
+            )[: len(chunk)])
+        return np.concatenate(out, axis=0)
 
     def prewarm_survivors(self, buckets=None) -> None:
         """Compile the bucketed survivor programs ahead of the steady-state
@@ -324,7 +349,9 @@ class CrowdSAM:
         bucket size appears (the round-2 driver bench's 1864 ms/img
         mechanism).  in_hw is a traced argument, so one compile per bucket
         covers every image shape.  Idempotent; ~1 s/bucket warm from the
-        persistent compile cache."""
+        persistent compile cache.  `generate_many` calls this automatically
+        on its first multi-image run (VERDICT r2 #4)."""
+        self._survivors_prewarmed = True
         cfg = self.engine_cfg
         buckets = tuple(buckets) if buckets is not None else (
             self.SURVIVOR_BUCKETS + (cfg.max_keep,)
@@ -332,11 +359,22 @@ class CrowdSAM:
         r = cfg.low_res
         slab = jnp.zeros((cfg.max_keep, r, r), jnp.bfloat16)
         hw = jnp.asarray((cfg.img_size, cfg.img_size), jnp.int32)
+        idx0 = jnp.zeros((self._OVERFLOW_PAD,), jnp.int32)
         for b in buckets:
             if b > cfg.max_keep:
                 continue
-            self._survivor_gathered(
+            sp = self._survivor_gathered(
                 slab, jnp.zeros((b,), jnp.int32), jnp.int32(0), hw
+            )
+            if "packed" in sp:  # overflow-fallback gather, per slab shape
+                self._packed_gather(sp["packed"], idx0)
+        if self.output_rles and cfg.spec_survivors > 0:
+            # The spec (in-engine) tail's packed slab has its own shape
+            # (engine clamps the speculative rows to the survivor slab).
+            s = self.sam.img_size
+            spec_n = min(cfg.spec_survivors, cfg.max_keep, cfg.slab)
+            self._packed_gather(
+                jnp.zeros((spec_n, s, s // 8), jnp.uint8), idx0
             )
 
     def crop_image(self, image, crop_box):
@@ -397,6 +435,12 @@ class CrowdSAM:
         sum to the loop total, so per-image variance is visible)."""
         if self.crop_n_layers != 0:
             return [self.generate(im) for im in images]
+
+        # Steady-state guarantee: compile every survivor bucket up front so
+        # a fresh detection count mid-run can never eat an XLA compile
+        # (VERDICT r2 #4).  One-time; ~1 s/bucket from the persistent cache.
+        if len(images) > 1 and not getattr(self, "_survivors_prewarmed", False):
+            self.prewarm_survivors()
 
         import time
         from collections import deque
@@ -609,7 +653,8 @@ class CrowdSAM:
                 overflow = np.nonzero(nch > svals.shape[1])[0]
             rles = []
             if len(overflow):
-                packed = np.asarray(sp["packed"])[sel[overflow]]
+                packed = self._gather_packed_rows(
+                    sp["packed"], sel[overflow].astype(np.int32))
                 full_ov = np.unpackbits(packed, axis=-1)[
                     :, :in_h, :in_w
                 ].astype(bool)

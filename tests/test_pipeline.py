@@ -139,6 +139,25 @@ def test_generate_many_matches_generate(rng):
             assert a["rles"] == b["rles"]
 
 
+def test_generate_many_auto_prewarms(rng):
+    """The production multi-image path must prewarm the survivor buckets
+    itself (VERDICT r2 #4) — exactly once, and explicit prewarm_survivors
+    calls must suppress the automatic one."""
+    from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+
+    m = CrowdSAM(tiny_config())
+    calls = []
+    orig = m.prewarm_survivors
+    m.prewarm_survivors = lambda *a, **k: (calls.append(1), orig(*a, **k))
+    images = [
+        rng.integers(0, 255, (96, 128, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    m.generate_many(images)
+    assert calls == [1]
+    m.generate_many(images)  # second run: already warm
+    assert calls == [1]
+
+
 def test_prewarm_survivors_covers_every_bucket(tiny_model):
     """After prewarm_survivors(), hitting any bucket size with production
     shapes/dtypes must not trigger a new compile (VERDICT r2 #4: a
@@ -283,3 +302,19 @@ def test_trainfree_arch_generate(rng):
     if n:
         # train-free forces category 0 (reference model.py:358)
         assert (np.asarray(data["categories"]) == 0).all()
+
+
+def test_gather_packed_rows_matches_host_indexing(tiny_model):
+    """The overflow fallback must fetch exactly the requested packed rows
+    (device-side gather, chunked to a fixed pad size) — transferring the
+    whole slab per overflow was the r3 iteration-spike mechanism."""
+    import jax.numpy as jnp
+
+    m = tiny_model
+    rng = np.random.default_rng(3)
+    slab = jnp.asarray(
+        rng.integers(0, 256, size=(40, 64, 8), dtype=np.uint8))
+    host = np.asarray(slab)
+    for rows in ([5], [0, 39, 7], list(range(17))):  # 17 > _OVERFLOW_PAD
+        got = m._gather_packed_rows(slab, np.asarray(rows, np.int32))
+        np.testing.assert_array_equal(got, host[rows])
