@@ -129,7 +129,8 @@ def main():
     fixture_meta = train_or_load_decoder(
         model,
         steps=int(os.environ.get("BENCH_TRAIN_STEPS", "800")),
-        lr=float(os.environ.get("BENCH_TRAIN_LR", "2e-4")))
+        lr=float(os.environ.get("BENCH_TRAIN_LR", "2e-4")),
+        recipe=os.environ.get("BENCH_TRAIN_RECIPE", ""))
     train_s = time.time() - t0
     print(f"# trained fixture: {fixture_meta} ({train_s:.0f}s)",
           file=sys.stderr)

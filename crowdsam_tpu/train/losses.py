@@ -66,6 +66,8 @@ def adapter_loss(
     region_valid: jnp.ndarray,       # (R, R) valid-region mask (256-scale crop)
     num_pos: int,
     mask_loss: bool = False,
+    neg_hinge_weight: float = 0.0,
+    neg_hinge_margin: float = 0.05,
 ):
     """Composite adapter loss (reference `tools/train.py:147-204`):
     - MSE between fused IoU and the true mIoU of each positive's masks
@@ -102,4 +104,14 @@ def adapter_loss(
         # Best-of-K like SAM: only the closest head per prompt gets gradient.
         per_k = dice_loss(pos_masks, target_masks[:, None])  # (P_pos, K)
         out["mask_dice_loss"] = per_k.min(axis=1).mean()
+    if neg_hinge_weight > 0.0:
+        # TPU-repo calibration extension (train.neg_hinge_weight, default
+        # off): square hinge pushing every negative prompt's fused score
+        # below `neg_hinge_margin` — the MSE term's gradient vanishes as
+        # fused -> 0, which leaves background plateaued just above the
+        # inference pred_iou threshold (0.1) on the bench fixture.
+        h = jnp.maximum(fused_iou[num_pos:] - neg_hinge_margin, 0.0)
+        out["neg_hinge_loss"] = (
+            neg_hinge_weight * jnp.square(h).sum(axis=1).mean()
+        )
     return out

@@ -95,6 +95,16 @@ class AdapterTrainer:
         self.weight_decay = tr["weight_decay"]
         self.seed = tr.get("seed", 1)
         self.full_decoder = bool(tr.get("full_decoder", False))
+        # Calibration extensions (TPU-repo; default off = reference
+        # semantics, tools/train.py:147-204).  hard_neg_frac routes that
+        # fraction of the negative prompts to the points the CURRENT FG map
+        # scores highest (background the model is confidently wrong about —
+        # exactly the prompts the EPS sampler will pick at inference);
+        # neg_hinge_weight adds w * relu(fused - margin)^2 on negative
+        # fused scores, pushing background below the pred_iou threshold.
+        self.hard_neg_frac = float(tr.get("hard_neg_frac", 0.0))
+        self.neg_hinge_weight = float(tr.get("neg_hinge_weight", 0.0))
+        self.neg_hinge_margin = float(tr.get("neg_hinge_margin", 0.05))
         self.clip_grad = 0.1
         self.low_res = self.sam.img_size // 4
 
@@ -207,6 +217,25 @@ class AdapterTrainer:
             pidx = jnp.argmax(flat, axis=-1)
             pos_pts = jnp.stack([pidx % r, pidx // r], axis=-1).astype(jnp.float32)
 
+            # Differentiable DINO projection (trainable dino_proj feeds both
+            # the pooling and FG-map paths, reference predict_masks :187).
+            # Computed before prompt sampling so hard-negative mining can
+            # read the current FG map.
+            proj = sam.mask_decoder.apply(
+                {"params": dec_params}, dino[None],
+                method=sam.mask_decoder.project_dino,
+            )[0]  # (Gd, Gd, 256)
+
+            # FG map from the same projection (predict_fg_map path).
+            cls_map = sam.mask_decoder.apply(
+                {"params": dec_params}, proj[None],
+                method=sam.mask_decoder.classify_points,
+            )[0]  # (Gd, Gd, C)
+            cls_map = jax.image.resize(
+                cls_map.astype(jnp.float32), (r, r, cls_map.shape[-1]),
+                "linear", antialias=False,
+            ).transpose(2, 0, 1)
+
             # -- negative prompts: background of the 256-scale valid region -
             scale = jnp.minimum(r / h, r / w)
             ri = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
@@ -216,8 +245,24 @@ class AdapterTrainer:
             )
             ok = (~fg) & valid
             gn = jax.random.gumbel(k3, (r * r,))
-            neg_logits = jnp.where(ok.reshape(-1), gn, -jnp.inf)
-            _, nidx = jax.lax.top_k(neg_logits, neg_n)
+            n_hard = int(round(self.hard_neg_frac * neg_n))
+            if n_hard > 0:
+                # Hard negatives: background points the CURRENT FG map is
+                # most confident about (these are the false positives the
+                # EPS sampler feeds the decoder at inference).  Gumbel noise
+                # keeps the picks varied across steps (detached: selection
+                # indices carry no gradient anyway).
+                fg_conf = jax.lax.stop_gradient(
+                    jnp.max(cls_map, axis=0)
+                ).reshape(-1)
+                hard_logits = jnp.where(ok.reshape(-1), fg_conf + gn, -jnp.inf)
+                _, hidx = jax.lax.top_k(hard_logits, n_hard)
+                uni_logits = jnp.where(ok.reshape(-1), gn, -jnp.inf)
+                _, uidx = jax.lax.top_k(uni_logits, neg_n - n_hard)
+                nidx = jnp.concatenate([hidx, uidx])
+            else:
+                neg_logits = jnp.where(ok.reshape(-1), gn, -jnp.inf)
+                _, nidx = jax.lax.top_k(neg_logits, neg_n)
             neg_pts = jnp.stack([nidx % r, nidx // r], axis=-1).astype(jnp.float32)
 
             # 256-frame -> image frame -> input frame (train.py:233-236)
@@ -233,12 +278,6 @@ class AdapterTrainer:
             )
             sparse = shard_prompts(sparse)
             dense = shard_prompts(dense)
-            # Differentiable DINO projection (trainable dino_proj feeds both
-            # the pooling and FG-map paths, reference predict_masks :187).
-            proj = sam.mask_decoder.apply(
-                {"params": dec_params}, dino[None],
-                method=sam.mask_decoder.project_dino,
-            )[0]  # (Gd, Gd, 256)
             proj_r = shard_spatial(
                 jax.image.resize(
                     proj, (r, r, proj.shape[-1]), "linear", antialias=False
@@ -251,21 +290,13 @@ class AdapterTrainer:
             )
             fused_iou = iou_pred * jax.nn.sigmoid(cls_scores[..., 0])
 
-            # FG map from the same projection (predict_fg_map path).
-            cls_map = sam.mask_decoder.apply(
-                {"params": dec_params}, proj[None],
-                method=sam.mask_decoder.classify_points,
-            )[0]  # (Gd, Gd, C)
-            cls_map = jax.image.resize(
-                cls_map.astype(jnp.float32), (r, r, cls_map.shape[-1]),
-                "linear", antialias=False,
-            ).transpose(2, 0, 1)
-
             losses = adapter_loss(
                 masks, fused_iou, cls_map,
                 tmasks, fg.astype(jnp.float32), valid.astype(jnp.float32),
                 num_pos=pos_n,
                 mask_loss=self.full_decoder,
+                neg_hinge_weight=self.neg_hinge_weight,
+                neg_hinge_margin=self.neg_hinge_margin,
             )
             return sum(losses.values()), losses
 

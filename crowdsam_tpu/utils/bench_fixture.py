@@ -33,14 +33,20 @@ import numpy as np
 CACHE_PATH = os.path.join("data", "bench_trained_decoder.msgpack")
 
 
-def cache_path_for(steps: int, lr: float) -> str:
+def cache_path_for(steps: int, lr: float, recipe: str = "") -> str:
     """Cache file keyed by the training recipe, so probing a different
-    steps/lr can never silently load another recipe's weights.  The
-    default recipe (800 steps, lr 2e-4) keeps the legacy unkeyed name so
-    existing machine-local caches stay valid."""
-    if steps == 800 and abs(lr - 2e-4) < 1e-12:
+    steps/lr/extra-override set can never silently load another recipe's
+    weights.  The default recipe (800 steps, lr 2e-4, no extras) keeps the
+    legacy unkeyed name so existing machine-local caches stay valid."""
+    if steps == 800 and abs(lr - 2e-4) < 1e-12 and not recipe:
         return CACHE_PATH
-    return os.path.join("data", f"bench_trained_decoder_s{steps}_lr{lr:g}.msgpack")
+    tag = ""
+    if recipe:
+        import hashlib
+
+        tag = "_" + hashlib.sha1(recipe.encode()).hexdigest()[:8]
+    return os.path.join(
+        "data", f"bench_trained_decoder_s{steps}_lr{lr:g}{tag}.msgpack")
 
 
 def crowd_scene(seed: int, h: int = 683, w: int = 1024,
@@ -81,9 +87,14 @@ def sparse_scene(seed: int, h: int = 683, w: int = 1024):
 
 
 def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
-                          cache_path: str = None, logger=None):
+                          cache_path: str = None, logger=None,
+                          recipe: str = ""):
     """Train the full decoder on the synthetic 10-shot set (or load the
     cached result) and install it into `model` (a CrowdSAM).
+
+    `recipe`: comma-separated extra train-config overrides
+    ("train.hard_neg_frac=0.5,train.neg_hinge_weight=4") — calibration
+    experiments; part of the cache key.
 
     Returns a dict of fixture metadata for bench diagnostics."""
     import jax
@@ -93,8 +104,10 @@ def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
     from crowdsam_tpu.utils.checkpoint import load_pytree, save_pytree
 
     if cache_path is None:
-        cache_path = cache_path_for(steps, lr)
+        cache_path = cache_path_for(steps, lr, recipe)
     meta = {"trained_steps": steps, "trained_lr": lr}
+    if recipe:
+        meta["trained_recipe"] = recipe
     if cache_path and os.path.exists(cache_path):
         state = load_pytree(cache_path)
         model.sam.params["mask_decoder"] = jax.tree_util.tree_map(
@@ -106,11 +119,15 @@ def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
     from crowdsam_tpu.train.trainer import AdapterTrainer
     from crowdsam_tpu.utils.fixtures import ANNOT_NAME, ensure_ten_shot
 
-    cfg = modify_config(model.config, [
+    overrides = [
         "train.full_decoder", "True",
         "train.steps", str(steps),
         "train.lr", str(lr),
-    ])
+    ]
+    for pair in filter(None, recipe.split(",")):
+        k, _, v = pair.partition("=")
+        overrides += [k.strip(), v.strip()]
+    cfg = modify_config(model.config, overrides)
     root = ensure_ten_shot(logger=logger)
     dataset = CrowdHumanDataset(root, os.path.join(root, ANNOT_NAME))
     trainer = AdapterTrainer(cfg, model.predictor, logger=logger)

@@ -25,6 +25,7 @@ import numpy as np
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 2e-4
+    recipe = sys.argv[3] if len(sys.argv) > 3 else ""
 
     import jax
 
@@ -50,7 +51,7 @@ def main():
         ])
         model = CrowdSAM(cfg)
         t0 = time.time()
-        meta = train_or_load_decoder(model, steps=steps, lr=lr)
+        meta = train_or_load_decoder(model, steps=steps, lr=lr, recipe=recipe)
         print(f"# [{label}] fixture: {meta} ({time.time()-t0:.0f}s)",
               flush=True)
 
