@@ -323,8 +323,10 @@ class AdapterTrainer:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 500,
         resume: bool = True,
+        losses_out: Dict[str, float] | None = None,
     ) -> Dict[str, Any]:
         """Runs the full loop; returns the updated mask_decoder params.
+        `losses_out`: optional dict filled with the final step's loss terms.
 
         With `checkpoint_dir`, the adapter params + optimizer state are
         written every `checkpoint_every` steps and training resumes from the
@@ -404,6 +406,9 @@ class AdapterTrainer:
                 else:
                     os.environ[flag] = old
 
+        if losses_out is not None and self.steps > start_step:
+            losses_out.update(
+                {k: float(v) for k, v in losses.items()})
         new_dec = merge_params(adapter_p, frozen_p)
         self.sam.params["mask_decoder"] = new_dec
         return new_dec

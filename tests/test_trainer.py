@@ -184,3 +184,67 @@ def test_full_decoder_training_updates_mask_path(ten_shot_root):
     assert changed
     # env restored (trace-time kernel gating must not leak to inference)
     assert not os.environ.get("CROWDSAM_DISABLE_MASK_HEAD_KERNEL")
+
+
+def test_adapter_loss_neg_hinge_term():
+    """The calibration hinge (TPU-repo extension, default off) must only
+    appear when enabled, only see negative prompts, and be exactly
+    w * relu(fused - margin)^2 summed over heads, mean over negatives."""
+    p, k, r = 5, 4, 16
+    rng = np.random.default_rng(1)
+    args = (
+        jnp.asarray(rng.normal(size=(p, k, r, r)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(p, k)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, r, r)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(2, r, r)) > 0.5),
+        jnp.asarray((rng.uniform(size=(r, r)) > 0.5).astype(np.float32)),
+        jnp.ones((r, r)),
+    )
+    base = adapter_loss(*args, num_pos=2)
+    assert "neg_hinge_loss" not in base  # default off = reference loss set
+
+    w, m = 4.0, 0.05
+    got = adapter_loss(*args, num_pos=2, neg_hinge_weight=w,
+                       neg_hinge_margin=m)
+    fused = np.asarray(args[1])
+    expect = w * (np.square(np.maximum(fused[2:] - m, 0.0)).sum(1)).mean()
+    np.testing.assert_allclose(float(got["neg_hinge_loss"]), expect,
+                               rtol=1e-6)
+    # The reference terms are untouched by the extension.
+    for key in ("pos_cls_loss", "neg_cls_loss", "dice_loss"):
+        np.testing.assert_allclose(float(got[key]), float(base[key]),
+                                   rtol=1e-7)
+
+
+def test_training_with_calibration_levers(ten_shot_root):
+    """hard_neg_frac + neg_hinge_weight (the r3 calibration recipe) must
+    compile and train; the reference loss terms still appear alongside the
+    hinge in the final step's loss dict."""
+    from crowdsam_tpu.config import load_config, modify_config
+    from crowdsam_tpu.models.build import sam_model_registry
+    from crowdsam_tpu.models.dinov2 import dino_model_registry
+    from crowdsam_tpu.pipeline.predictor import SamPredictor
+    from crowdsam_tpu.train.dataset import CrowdHumanDataset
+    from crowdsam_tpu.utils.init import fast_random_init
+
+    cfg = modify_config(load_config(None), [
+        "train.n_shot", "2", "train.steps", "3",
+        "train.samples_per_batch", "4",
+        "train.lr", "0.001", "train.full_decoder", "True",
+        "train.hard_neg_frac", "0.5",
+        "train.neg_hinge_weight", "4.0",
+    ])
+    sam = sam_model_registry["vit_tiny"](n_class=1, dtype=jnp.float32,
+                                         dino_dim=384)
+    dino = dino_model_registry["dinov2_vits14"](dtype=jnp.float32)
+    dino_params = fast_random_init(dino, jnp.zeros((1, 28, 28, 3)), seed=0)
+    predictor = SamPredictor(sam, dino, dino_params)
+    dataset = CrowdHumanDataset(
+        ten_shot_root, ten_shot_root + "/train_crowdhuman_10shot.json")
+
+    trainer = AdapterTrainer(cfg, predictor)
+    assert trainer.hard_neg_frac == 0.5 and trainer.neg_hinge_weight == 4.0
+    losses = {}
+    trainer.train(dataset, losses_out=losses)
+    assert "neg_hinge_loss" in losses
+    assert np.isfinite(losses["neg_hinge_loss"])
