@@ -318,3 +318,56 @@ def test_gather_packed_rows_matches_host_indexing(tiny_model):
     for rows in ([5], [0, 39, 7], list(range(17))):  # 17 > _OVERFLOW_PAD
         got = m._gather_packed_rows(slab, np.asarray(rows, np.int32))
         np.testing.assert_array_equal(got, host[rows])
+
+
+def test_finalize_crop_overflow_fallback_end_to_end(tiny_model):
+    """A mask whose RLE change count overflows the device budget must come
+    back through the packed-bitmap fallback (device row gather + host
+    encode) with an RLE identical to encoding the survivor pass's own
+    bitmap; non-overflow masks still take the change-list path."""
+    import jax.numpy as jnp
+
+    from crowdsam_tpu.ops.rle import coco_decode_rle, encode_masks_coco
+
+    m = tiny_model
+    cfg = m.engine_cfg
+    r = cfg.low_res
+    slab_n = min(cfg.max_keep, cfg.slab)
+    in_h, in_w = 200, cfg.img_size
+
+    logits = -np.ones((slab_n, r, r), np.float32)
+    logits[0, ::2, 8:16] = 1.0          # stripes: overflows the col budget
+    logits[1, 10:30, 5:25] = 1.0        # normal blob
+    summary = np.zeros((slab_n, 12), np.float32)
+    summary[:2, 0] = 1.0                # two detections
+    summary[:2, 1] = 0.9                # iou
+    summary[:2, 2] = 0.8                # score
+    summary[0, 6:10] = (8, 0, 16, r - 1)
+    summary[1, 6:10] = (5, 10, 25, 30)
+    res = {
+        "summary": jnp.asarray(summary),
+        "logits": jnp.asarray(logits, jnp.bfloat16),
+        "num_consumed": jnp.int32(4),
+    }
+    meta = dict(crop_box=[0, 0, in_w, in_h], orig_hw=(in_h, in_w),
+                in_hw=(in_h, in_w), downscale=1.0)
+    data = m._finalize_crop(res, meta)
+    assert data is not None and len(data["rles"]) == 2
+
+    # Oracle: the survivor pass's own packed bitmaps for the same inputs.
+    bucket = next(b for b in m.SURVIVOR_BUCKETS + (cfg.max_keep,) if b >= 2)
+    idx = np.zeros(bucket, np.int32)
+    idx[:2] = [0, 1]
+    sp = m._survivor_gathered(
+        res["logits"], jnp.asarray(idx), jnp.int32(2),
+        jnp.asarray((in_h, in_w), jnp.int32))
+    nch = np.asarray(sp["summary"])[:2, 10]
+    assert nch[0] > cfg.max_rle_changes  # stripes overflowed
+    assert 0 < nch[1] <= cfg.max_rle_changes
+    packed = np.asarray(sp["packed"])[:2]
+    full = np.unpackbits(packed, axis=-1)[:, :in_h, :in_w].astype(bool)
+    expect = encode_masks_coco(full)
+    assert data["rles"] == expect
+    for i in range(2):
+        got = coco_decode_rle(data["rles"][i])
+        np.testing.assert_array_equal(got.astype(bool), full[i])
