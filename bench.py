@@ -83,15 +83,19 @@ def _stats(times_s):
     }
 
 
-def _timed_regime(model, image, iters):
+def _timed_regime(model, image, iters, lead=2):
     """Steady-state generate_many over `iters` copies of `image` with tail
-    diagnostics collected."""
+    diagnostics collected.  The first `lead` per-image deltas are excluded
+    from the stats (the pipeline's first delta structurally contains
+    lookahead+1 dispatches plus any first-touch host work) but recorded in
+    the JSON as lead_ms; wall_ms_per_img still covers the WHOLE run."""
     model.tail_stats = []
     times = []
     t0 = time.time()
-    results = model.generate_many([image] * iters, times_out=times)
-    wall = (time.time() - t0) / iters
-    stats = _stats(times)
+    results = model.generate_many([image] * (iters + lead), times_out=times)
+    wall = (time.time() - t0) / (iters + lead)
+    stats = _stats(times[lead:])
+    stats["lead_ms"] = [round(t * 1000, 1) for t in times[:lead]]
     stats["wall_ms_per_img"] = round(wall * 1000, 1)
     diag = {
         "keep_counts": [t["n"] for t in model.tail_stats],

@@ -371,3 +371,19 @@ def test_finalize_crop_overflow_fallback_end_to_end(tiny_model):
     for i in range(2):
         got = coco_decode_rle(data["rles"][i])
         np.testing.assert_array_equal(got.astype(bool), full[i])
+
+
+def test_bench_timed_regime_lead_exclusion(tiny_model, rng):
+    """bench._timed_regime: the first `lead` per-image deltas are excluded
+    from stats (pipeline fill + first-touch host work) but recorded, and
+    the diagnostics cover every image."""
+    import bench
+
+    image = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    result, stats, diag = bench._timed_regime(tiny_model, image, iters=3,
+                                              lead=2)
+    assert len(stats["iters_ms"]) == 3
+    assert len(stats["lead_ms"]) == 2
+    assert stats["median_ms"] == float(np.median(stats["iters_ms"]))
+    assert len(diag["keep_counts"]) == 5 and len(diag["tail_paths"]) == 5
+    assert isinstance(result, dict) or hasattr(result, "keys")
