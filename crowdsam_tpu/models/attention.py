@@ -94,14 +94,14 @@ def flash_mha(q, k, v, sm_scale: float, valid_len: Optional[int] = None):
 
 
 @lru_cache(maxsize=8)
-def _axis_onehots(size: int):
-    """(size^2, size) one-hot row / column indicators as numpy constants."""
-    rows = np.repeat(np.arange(size), size)
-    cols = np.tile(np.arange(size), size)
-    oh_r = np.zeros((size * size, size), np.float32)
-    oh_r[np.arange(size * size), rows] = 1.0
-    oh_c = np.zeros((size * size, size), np.float32)
-    oh_c[np.arange(size * size), cols] = 1.0
+def _axis_onehots(h: int, w: int):
+    """(h*w, h) / (h*w, w) one-hot row / column indicators (numpy consts)."""
+    rows = np.repeat(np.arange(h), w)
+    cols = np.tile(np.arange(w), h)
+    oh_r = np.zeros((h * w, h), np.float32)
+    oh_r[np.arange(h * w), rows] = 1.0
+    oh_c = np.zeros((h * w, w), np.float32)
+    oh_c[np.arange(h * w), cols] = 1.0
     return oh_r, oh_c
 
 
@@ -115,7 +115,7 @@ def flash_mha_decomposed_relpos(q, k, v, sm_scale: float, rel_h, rel_w,
     """
     hh, ww = hw
     b, nh, s, d = q.shape
-    assert s == hh * ww and hh == ww
+    assert s == hh * ww
 
     # f_h[n, j] = sum_c q[n, c] * rel_h[row(n), j, c]
     qr = q.reshape(b, nh, hh, ww, d)
@@ -124,7 +124,7 @@ def flash_mha_decomposed_relpos(q, k, v, sm_scale: float, rel_h, rel_w,
     fh = fh.reshape(b, nh, s, hh)
     fw = fw.reshape(b, nh, s, ww)
 
-    oh_r, oh_c = _axis_onehots(hh)
+    oh_r, oh_c = _axis_onehots(hh, ww)
     oh_r = jnp.asarray(oh_r, dtype=q.dtype)
     oh_c = jnp.asarray(oh_c, dtype=q.dtype)
     kr = jnp.broadcast_to(oh_r[None, None], (b, nh, s, hh))

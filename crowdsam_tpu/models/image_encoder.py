@@ -28,12 +28,24 @@ from crowdsam_tpu.models.common import ChannelLayerNorm, LayerNorm, MLPBlock
 
 
 def _rel_pos_table(rel_pos: jnp.ndarray, size: int) -> jnp.ndarray:
-    """(2*size-1, d) table -> (size, size, d) per-pair embeddings.
+    """(L, d) table -> (size, size, d) per-pair embeddings.
 
     Same-size q/k specialization of reference `get_rel_pos`
-    (`image_encoder.py:292-322`); interpolation is unnecessary because our
-    tables are built at the exact block resolution.
+    (`image_encoder.py:292-322`).  When the stored table length L differs
+    from 2*size-1 (rectangular encode: a global block runs at a grid
+    smaller than the parameter's native resolution), the table is linearly
+    interpolated exactly like the reference's `F.interpolate(...,
+    mode="linear")` (align_corners=False = half-pixel centers, which is
+    jax.image.resize "linear" without antialias).
     """
+    max_rel_dist = 2 * size - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos.astype(jnp.float32),
+            (max_rel_dist, rel_pos.shape[1]),
+            method="linear",
+            antialias=False,
+        ).astype(rel_pos.dtype)
     coords = (
         jnp.arange(size)[:, None] - jnp.arange(size)[None, :] + (size - 1)
     )
@@ -135,7 +147,6 @@ class Attention(nn.Module):
 
         if (
             flash_enabled(self.dtype)
-            and h == w
             and h * w >= 1024
             and self.use_rel_pos
         ):
@@ -280,11 +291,16 @@ class ImageEncoderViT(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(x)
+        gh, gw = x.shape[1], x.shape[2]
         if self.use_abs_pos:
             pos_embed = self.param(
                 "pos_embed", nn.initializers.zeros, (1, grid, grid, self.embed_dim)
             )
-            x = x + pos_embed.astype(x.dtype)
+            # Rectangular encode (tpu.rect_encode): a sub-square input is
+            # the top-left crop of the padded square frame, so it takes the
+            # matching pos-embed crop — per-position values identical to
+            # the square path.
+            x = x + pos_embed[:, :gh, :gw].astype(x.dtype)
 
         interm = None
         first_global = min(self.global_attn_indexes) if self.global_attn_indexes else -1

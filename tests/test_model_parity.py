@@ -202,3 +202,77 @@ def test_mask_decoder_parity_full_size():
     np.testing.assert_allclose(np.asarray(m_j), m_t.detach().numpy(), atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(iou_j), iou_t.detach().numpy(), atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(cls_j), cls_t.detach().numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_rel_pos_interp_matches_reference():
+    """Rect encode runs global blocks at grids below the parameter's native
+    resolution; the table interpolation must match reference get_rel_pos
+    (F.interpolate mode='linear', image_encoder.py:292-322)."""
+    from crowdsam_tpu.models.image_encoder import _rel_pos_table
+
+    torch.manual_seed(3)
+    table = torch.randn(127, 16)  # native 64-grid table
+    for size in (43, 48, 64):
+        want = REF["image_encoder"].get_rel_pos(size, size, table).numpy()
+        got = np.asarray(_rel_pos_table(jnp.asarray(table.numpy()), size))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_rect_global_attention_parity():
+    """Global attention on a rectangular token grid (h != w) matches the
+    reference Attention bit-for-bit-ish, including the interpolated
+    rel-pos tables (rect-encode support)."""
+    from crowdsam_tpu.models.image_encoder import Attention
+
+    torch.manual_seed(4)
+    tattn = REF["image_encoder"].Attention(
+        dim=32, num_heads=2, qkv_bias=True, use_rel_pos=True,
+        input_size=(8, 8),
+    ).eval()
+    sd = _sd(tattn)
+    params = {
+        "qkv": {"kernel": sd["qkv.weight"].T, "bias": sd["qkv.bias"]},
+        "proj": {"kernel": sd["proj.weight"].T, "bias": sd["proj.bias"]},
+        "rel_pos_h": sd["rel_pos_h"],
+        "rel_pos_w": sd["rel_pos_w"],
+    }
+    jattn = Attention(dim=32, num_heads=2, qkv_bias=True, use_rel_pos=True,
+                      input_size=(8, 8), dtype=jnp.float32)
+    x = np.random.default_rng(5).normal(size=(2, 5, 8, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tattn(torch.from_numpy(x)).numpy()
+    got = np.asarray(jattn.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_rect_image_encoder_parity_no_abs_pos():
+    """Full encoder on a rect input (windowed + global + neck) vs the torch
+    oracle.  use_abs_pos=False because the reference adds its square
+    pos_embed unconditionally and cannot forward rect inputs; the abs-pos
+    crop is covered by the square parity test + the slicing being a no-op
+    at full size."""
+    torch.manual_seed(6)
+    tenc = REF["image_encoder"].ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=4.0, out_chans=16, qkv_bias=True,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
+        use_abs_pos=False, use_rel_pos=True, window_size=3,
+        global_attn_indexes=(1,),
+    ).eval()
+    sd = _sd(tenc)
+
+    jenc = ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=4.0, out_chans=16, window_size=3, global_attn_indexes=(1,),
+        use_abs_pos=False, dtype=jnp.float32,
+    )
+    params = ckpt.convert_image_encoder(sd, depth=3)
+
+    # 48x64 input -> 3x4 patch grid (rect), window 3 pads rows 3 -> 3, cols
+    # 4 -> 6: exercises rect window partition AND the rect global block.
+    x = np.random.default_rng(7).normal(size=(1, 48, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tenc(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(jenc.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-5,
+                               rtol=1e-4)
