@@ -86,6 +86,10 @@ DEFAULTS: Dict[str, Any] = {
         "mesh_data": 1,                   # data-parallel axis size
         "mesh_model": 1,                  # prompt-sharding axis size
         "cc_max_iters": 256,              # connected-components propagation cap
+        "rect_encode": False,             # encode only the valid band of
+                                          # non-square inputs (~33% encode
+                                          # FLOPs at 2:3 aspect); documented
+                                          # deviation — see PARITY.md
     },
 }
 

@@ -88,8 +88,16 @@ class DinoVisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, pos_hw=None) -> Dict[str, jnp.ndarray]:
         """x: (B, H, W, 3) normalized float NHWC; H, W divisible by 14.
+
+        `pos_hw`: optional (H_pos, W_pos) grid the positional embedding is
+        interpolated TO before taking the top-left (gh, gw) crop.  Used by
+        the rectangular-encode mode: a rect input that is the top band of a
+        larger square frame must keep the SAME per-position embeddings as
+        the square call, so pos interp targets the square grid and the rect
+        grid takes its crop (documented deviation; reference DINOv2 always
+        interpolates to the call grid).
 
         Returns {"x_norm_clstoken": (B, C), "x_norm_patchtokens": (B, N, C)}.
         """
@@ -117,14 +125,15 @@ class DinoVisionTransformer(nn.Module):
         )
         cls_pos = pos_embed[:, :1]
         patch_pos = pos_embed[:, 1:].reshape(1, n_pre, n_pre, self.embed_dim)
-        if (gh, gw) != (n_pre, n_pre):
+        ph, pw = pos_hw if pos_hw is not None else (gh, gw)
+        if (ph, pw) != (n_pre, n_pre):
             # torch-exact bicubic (a=-0.75) via static resize matrices.
             from crowdsam_tpu.ops.resize import resize_bicubic_torch
 
             patch_pos = resize_bicubic_torch(
-                patch_pos.astype(jnp.float32), (gh, gw)
+                patch_pos.astype(jnp.float32), (ph, pw)
             )
-        patch_pos = patch_pos.reshape(1, gh * gw, self.embed_dim)
+        patch_pos = patch_pos[:, :gh, :gw].reshape(1, gh * gw, self.embed_dim)
 
         x = x + patch_pos.astype(x.dtype)
         cls = jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)) + cls_pos

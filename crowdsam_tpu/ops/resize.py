@@ -42,6 +42,27 @@ def resize_matrix_cubic(in_size: int, out_size: int, a: float = -0.75) -> np.nda
     return mat.astype(np.float32)
 
 
+@lru_cache(maxsize=64)
+def resize_matrix_linear(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) matrix implementing 1-D linear resize with
+    half-pixel centers and edge clamp — exactly `jax.image.resize(...,
+    "linear", antialias=False)` / torch bilinear (align_corners=False).
+
+    Rect-encode uses row/column SLICES of the square frame's matrix: a
+    truncated column range is exact whenever the dropped input rows are
+    zero in the square frame (they are — it's the zero padding)."""
+    scale = in_size / out_size
+    pos = (np.arange(out_size) + 0.5) * scale - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    frac = pos - lo
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(mat, (np.arange(out_size), np.clip(lo, 0, in_size - 1)),
+              1.0 - frac)
+    np.add.at(mat, (np.arange(out_size), np.clip(lo + 1, 0, in_size - 1)),
+              frac)
+    return mat.astype(np.float32)
+
+
 def resize_bicubic_torch(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """(..., H, W, C) -> (..., out_h, out_w, C) torch-bicubic resize."""
     h, w = x.shape[-3], x.shape[-2]

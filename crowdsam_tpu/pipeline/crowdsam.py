@@ -156,7 +156,10 @@ class CrowdSAM:
                 jnp.zeros((1, 28, 28, 3), jnp.float32),
                 seed=config["environ"].get("seed", 42),
             )
-        self.predictor = SamPredictor(sam, dino_module, dino_params)
+        self.predictor = SamPredictor(
+            sam, dino_module, dino_params,
+            rect_encode=bool(config["tpu"].get("rect_encode", False)),
+        )
 
         # ---- test-time knobs (reference model.py:44-64) ----
         self.mask_selection = tcfg["mask_selection"]

@@ -30,13 +30,32 @@ from crowdsam_tpu.ops.transforms import ResizeLongestSide
 
 
 class SamPredictor:
-    def __init__(self, sam_model: Sam, dino_model=None, dino_params=None):
+    def __init__(self, sam_model: Sam, dino_model=None, dino_params=None,
+                 rect_encode: bool = False):
         """dino_model/dino_params: DinoVisionTransformer + params (optional —
-        the vanilla-SAM arch path runs without DINOv2)."""
+        the vanilla-SAM arch path runs without DINOv2).
+
+        rect_encode (tpu.rect_encode, default off): encode only the valid
+        band of non-square inputs instead of the reference's zero-padded
+        square — both ViTs run rect patch grids and the feature/DINO maps
+        are zero-padded back to the square frame afterwards.  ~33% encode
+        FLOPs saved at the CrowdHuman 2:3 aspect.  DOCUMENTED DEVIATION
+        (PARITY.md): the reference's global attention mixes the padding
+        tokens into valid features, so rect features differ near the
+        boundary; the parity default stays square."""
         self.model = sam_model
         self.dino_model = dino_model
         self.dino_params = dino_params
         self.is_hq = isinstance(sam_model.mask_decoder, MaskDecoderHQ)
+        if rect_encode and self.is_hq:
+            from crowdsam_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "tpu.rect_encode is not supported with the HQ decoder "
+                "(interm-feature fusion assumes the square frame) — "
+                "falling back to square encode")
+            rect_encode = False
+        self.rect_encode = rect_encode
         self.transform = ResizeLongestSide(sam_model.img_size)
         # Derived static resolutions: decoder mask res = img/4 (256 for SAM's
         # 1024), DINOv2 grid = img//14 (73), DINO input = grid*14 (1022).
@@ -66,7 +85,8 @@ class SamPredictor:
         ci = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
         inside = (ri < input_hw[0]) & (ci < input_hw[1])
         x = x * inside[None, :, :, None]
-        if (hb, wb) != (s, s):
+        rect = self.rect_encode and (hb, wb) != (s, s)
+        if (hb, wb) != (s, s) and not rect:
             x = jnp.pad(x, ((0, 0), (0, s - hb), (0, s - wb), (0, 0)))
 
         interm = None
@@ -80,7 +100,14 @@ class SamPredictor:
         else:
             features = self.model.image_encoder.apply(
                 {"params": params["image_encoder"]}, x
-            )  # (1, 64, 64, 256)
+            )  # (1, 64, 64, 256); rect: (1, hb/16, wb/16, 256)
+        if rect:
+            g = s // self.model.image_encoder.patch_size
+            features = jnp.pad(
+                features,
+                ((0, 0), (0, g - features.shape[1]),
+                 (0, g - features.shape[2]), (0, 0)),
+            )
 
         dense_pe = self.model.prompt_encoder.apply(
             {"params": params["prompt_encoder"]},
@@ -99,12 +126,42 @@ class SamPredictor:
             # DINOv2 on the SAM-normalized padded frame resized to 1022^2
             # (predictor.py:104-106).
             d = self.dino_input
-            x_dino = jax.image.resize(
-                x, (1, d, d, 3), method="linear", antialias=False
-            )
-            dres = self.dino_model.apply({"params": dino_params}, x_dino)
             g = self.dino_grid
-            dino_feats = dres["x_norm_patchtokens"].reshape(1, g, g, -1)
+            if rect:
+                # Rect DINO: the square frame's separable linear resize,
+                # truncated to the rows/cols the rect band can produce.
+                # Truncation is EXACT (the dropped input rows/cols are the
+                # square frame's zero padding), so every patch containing
+                # content sees identical pixels to the square path.  The
+                # token rows beyond the band are zero-padded here where the
+                # square path has DINO-of-padding values (the documented
+                # rect deviation).  Pos embeddings are interpolated to the
+                # square grid and cropped, keeping per-position values.
+                from crowdsam_tpu.ops.resize import resize_matrix_linear
+
+                gh_d = min(-(-int(np.ceil(hb * d / s)) // 14), g)
+                gw_d = min(-(-int(np.ceil(wb * d / s)) // 14), g)
+                dh, dw = gh_d * 14, gw_d * 14
+                wr = jnp.asarray(resize_matrix_linear(s, d)[:dh, :hb])
+                wc = jnp.asarray(resize_matrix_linear(s, d)[:dw, :wb])
+                x_dino = jnp.einsum("oh,bhwc->bowc", wr, x)
+                x_dino = jnp.einsum("pw,bowc->bopc", wc, x_dino)
+                dres = self.dino_model.apply(
+                    {"params": dino_params}, x_dino, pos_hw=(g, g)
+                )
+                dino_feats = dres["x_norm_patchtokens"].reshape(
+                    1, gh_d, gw_d, -1
+                )
+                dino_feats = jnp.pad(
+                    dino_feats,
+                    ((0, 0), (0, g - gh_d), (0, g - gw_d), (0, 0)),
+                )
+            else:
+                x_dino = jax.image.resize(
+                    x, (1, d, d, 3), method="linear", antialias=False
+                )
+                dres = self.dino_model.apply({"params": dino_params}, x_dino)
+                dino_feats = dres["x_norm_patchtokens"].reshape(1, g, g, -1)
             out["dino_feats"] = dino_feats
             r = self.low_res
             if self.is_hq:
@@ -150,8 +207,12 @@ class SamPredictor:
         self.original_size = tuple(image.shape[:2])
         self.input_size = tuple(image.shape[:2])
         s = self.model.img_size
-        hb = min(-(-image.shape[0] // 256) * 256, s)
-        wb = min(-(-image.shape[1] // 256) * 256, s)
+        # Rect mode buckets at 64 px (4 patch rows) so the encode tracks the
+        # valid band tightly; square mode keeps the coarse 256 px buckets
+        # (the pad to the square frame happens on device either way).
+        gran = 64 if self.rect_encode else 256
+        hb = min(-(-image.shape[0] // gran) * gran, s)
+        wb = min(-(-image.shape[1] // gran) * gran, s)
         bucket = np.zeros((hb, wb, 3), dtype=image.dtype)
         bucket[: image.shape[0], : image.shape[1]] = image
         self._cache = self._encode_jit(

@@ -387,3 +387,61 @@ def test_bench_timed_regime_lead_exclusion(tiny_model, rng):
     assert stats["median_ms"] == float(np.median(stats["iters_ms"]))
     assert len(diag["keep_counts"]) == 5 and len(diag["tail_paths"]) == 5
     assert isinstance(result, dict) or hasattr(result, "keys")
+
+
+def test_resize_matrix_linear_matches_jax_and_truncates_exactly():
+    """resize_matrix_linear == jax.image.resize('linear', antialias=False),
+    and slicing its columns to a band is exact when the dropped input rows
+    are zero (the rect-encode DINO input construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crowdsam_tpu.ops.resize import resize_matrix_linear
+
+    rng = np.random.default_rng(11)
+    s, d = 64, 58
+    x = rng.normal(size=(s, 5)).astype(np.float32)
+    want = np.asarray(jax.image.resize(jnp.asarray(x), (d, 5), "linear",
+                                       antialias=False))
+    got = resize_matrix_linear(s, d) @ x
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # Truncation: zero everything from row hb on; the (dh, hb) slice then
+    # reproduces the square result's first dh rows exactly.
+    hb, dh = 40, 28
+    x2 = x.copy()
+    x2[hb:] = 0.0
+    want2 = np.asarray(jax.image.resize(jnp.asarray(x2), (d, 5), "linear",
+                                        antialias=False))[:dh]
+    got2 = resize_matrix_linear(s, d)[:dh, :hb] @ x2[:hb]
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-5)
+
+
+def test_rect_encode_square_input_identical(rng):
+    """With a square input the rect branch is inert: results match the
+    default pipeline exactly (same encode program semantics)."""
+    image = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    m_sq = CrowdSAM(tiny_config())
+    m_rect = CrowdSAM(tiny_config(**{"tpu.rect_encode": "True"}))
+    a = m_sq.generate(image)
+    b = m_rect.generate(image)
+    assert len(a["boxes"]) == len(b["boxes"])
+    if len(a["boxes"]):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-5)
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-6)
+
+
+def test_rect_encode_smoke(rng):
+    """Rect input through the rect-encode pipeline: valid contract, RLEs
+    decode at the image frame, detections stay inside the valid region."""
+    from crowdsam_tpu.ops.rle import coco_decode_rle
+
+    image = rng.integers(0, 255, (160, 256, 3), dtype=np.uint8)
+    m = CrowdSAM(tiny_config(**{"tpu.rect_encode": "True"}))
+    assert m.predictor.rect_encode
+    data = m.generate(image)
+    assert {"boxes", "scores", "rles"} <= set(data.keys())
+    if len(data["boxes"]):
+        assert (data["boxes"][:, [1, 3]] <= 160 + 1e-3).all()
+        mk = coco_decode_rle(data["rles"][0])
+        assert mk.shape == (160, 256)
