@@ -250,3 +250,55 @@ def test_ap_parity_exact_postprocess_on_blobs(rng, tmp_path):
     assert ap_e > 0.3, ap_e  # not vacuously zero
     assert abs(ap_e - ap_x) <= 0.02, (ap_e, ap_x)
     assert abs(rec_e - rec_x) <= 0.02, (rec_e, rec_x)
+
+
+@pytest.mark.slow
+def test_ap_parity_rect_encode_vs_square(rng, tmp_path):
+    """Part C: the opt-in rect encode (PARITY.md #9) may not move the
+    metric.  Square-mode detections scored as GT for rect-mode detections
+    (and vice versa) on the same scenes/weights must match at 0.5 IoU in
+    rank order — measured 0.997 AP / 1.000 recall under random amplified
+    weights, the most deviation-hostile regime (real weights are far
+    smoother at the band edge)."""
+    import dataclasses
+
+    from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+    from crowdsam_tpu.pipeline.engine import make_eps_engine
+
+    def build(rect):
+        m = CrowdSAM(oracle_config(**{
+            "test.pred_iou_thresh": "0.0",
+            "test.stability_score_thresh": "0.0",
+            "tpu.rect_encode": str(rect),
+        }))
+        m.engine_cfg = dataclasses.replace(m.engine_cfg, mask_threshold=20.0)
+        m.engine = make_eps_engine(
+            m.sam.prompt_encoder, m.sam.mask_decoder, m.engine_cfg,
+            spec_with_masks=m.output_rles)
+        m._build_survivor_programs()
+        return m
+
+    msq, mre = build(False), build(True)
+    images_meta, dt_sq, dt_re = [], [], []
+    for t in range(3):
+        h, w = 160 + 16 * t, 256
+        image = _structured_image(rng, h, w)
+        images_meta.append({"id": t, "file_name": f"im{t}.jpg",
+                            "height": h, "width": w})
+
+        def in_bounds(boxes, scores):
+            b = np.asarray(boxes, np.float64)
+            s = np.asarray(scores, np.float64)
+            ok = (b[:, 0] < w) & (b[:, 1] < h) if len(b) else np.zeros(0, bool)
+            return b[ok], s[ok]
+
+        da = msq.generate(image)
+        db = mre.generate(image)
+        dt_sq += _to_coco_dt(t, *in_bounds(da["boxes"], da["scores"]))
+        dt_re += _to_coco_dt(t, *in_bounds(db["boxes"], db["scores"]))
+
+    assert len(dt_sq) >= 3 and len(dt_re) >= 3
+    ap, _, rec = _eval(tmp_path, "sq_gt", images_meta, dt_sq, dt_re)
+    ap2, _, rec2 = _eval(tmp_path, "re_gt", images_meta, dt_re, dt_sq)
+    assert ap >= 0.95 and ap2 >= 0.95, (ap, ap2)
+    assert rec >= 0.95 and rec2 >= 0.95, (rec, rec2)
