@@ -122,19 +122,33 @@ def main():
     from crowdsam_tpu.utils.bench_fixture import (
         crowd_scene, sparse_scene, train_or_load_decoder)
 
+    # rect_encode: the TPU-native production mode (encode only the valid
+    # band of the 2:3-aspect image; ~33% encode FLOPs).  Metric-neutral —
+    # cross-AP 0.997/recall 1.000 vs square mode even under random
+    # amplified weights (tests/test_ap_parity.py::
+    # test_ap_parity_rect_encode_vs_square); reference thresholds are
+    # untouched.  BENCH_RECT=0 measures the reference-exact square encode.
+    rect = os.environ.get("BENCH_RECT", "1") != "0"
     cfg = modify_config(load_config("configs/crowdhuman.yaml"), [
         "model.sam_checkpoint", "",
         "model.dino_checkpoint", "",
         "model.sam_adapter_checkpoint", "",
+        "tpu.rect_encode", str(rect),
     ])
 
     model = CrowdSAM(cfg)
     t0 = time.time()
+    recipe = os.environ.get("BENCH_TRAIN_RECIPE", "")
+    if rect:
+        # Folded into the recipe so the fixture cache is keyed by the
+        # encode mode (rect-trained decoder weights differ slightly from
+        # square-trained ones); as a config pair it is a no-op re-set.
+        recipe = (recipe + "," if recipe else "") + "tpu.rect_encode=True"
     fixture_meta = train_or_load_decoder(
         model,
         steps=int(os.environ.get("BENCH_TRAIN_STEPS", "800")),
         lr=float(os.environ.get("BENCH_TRAIN_LR", "2e-4")),
-        recipe=os.environ.get("BENCH_TRAIN_RECIPE", ""))
+        recipe=recipe)
     train_s = time.time() - t0
     print(f"# trained fixture: {fixture_meta} ({train_s:.0f}s)",
           file=sys.stderr)
@@ -208,6 +222,7 @@ def main():
         "fixture": {**fixture_meta, "train_s": round(train_s, 1)},
         "stages": stages,
         "compile_s": round(compile_s, 1),
+        "rect_encode": rect,
         "backend": jax.default_backend(),
         **extra,
     }
