@@ -61,3 +61,25 @@ def test_window_attention_matches_dense(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_window_attention_rect_grid(rng):
+    """Rect-encode runs the fused window kernel on non-square padded grids
+    (e.g. 3x2 windows); must match the dense path exactly there too."""
+    hp, wp = 3 * WS, 2 * WS
+    x_pad = jnp.asarray(rng.normal(0, 1, (1, hp, wp, DIM)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(0, 0.05, (DIM, 3 * DIM)).astype(np.float32))
+    bqkv = jnp.asarray(rng.normal(0, 0.5, (3 * DIM,)).astype(np.float32))
+    rel_pos_h = jnp.asarray(
+        rng.normal(0, 0.5, (2 * WS - 1, HD)).astype(np.float32))
+    rel_pos_w = jnp.asarray(
+        rng.normal(0, 0.5, (2 * WS - 1, HD)).astype(np.float32))
+
+    want = _dense_reference(x_pad, wqkv, bqkv, rel_pos_h, rel_pos_w)
+    qkv = x_pad @ wqkv + bqkv
+    got = window_attention_pallas(
+        qkv, _rel_pos_table(rel_pos_h, WS), _rel_pos_table(rel_pos_w, WS),
+        num_heads=HEADS, scale=HD ** -0.5, window=WS, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
