@@ -26,11 +26,15 @@ respect_jax_platforms_env()
 import numpy as np
 
 DEFAULT_GRID = [
-    # steps, lr, recipe
-    (800, 2e-4, ""),  # r3 baseline (cached): ~90 crowded / ~35 sparse det
-    (800, 2e-4, "train.hard_neg_frac=0.5,train.neg_hinge_weight=4"),
-    (800, 2e-4, "train.hard_neg_frac=0.5,train.neg_hinge_weight=16"),
-    (2000, 2e-4, "train.hard_neg_frac=0.5,train.neg_hinge_weight=4"),
+    # steps, lr, recipe.  tpu.rect_encode=True matches bench.py's appended
+    # marker, so a sweep-trained cache is reused verbatim by the bench.
+    (800, 2e-4, "tpu.rect_encode=True"),  # levers-off rect baseline
+    (800, 2e-4, "train.hard_neg_frac=0.5,train.neg_hinge_weight=4,"
+                "tpu.rect_encode=True"),
+    (800, 2e-4, "train.hard_neg_frac=0.5,train.neg_hinge_weight=16,"
+                "tpu.rect_encode=True"),
+    (2000, 2e-4, "train.hard_neg_frac=0.5,train.neg_hinge_weight=4,"
+                 "tpu.rect_encode=True"),
 ]
 
 
@@ -57,9 +61,14 @@ def main():
     else:
         grid = DEFAULT_GRID
 
+    # rect_encode matches the bench default; the predictor reads the flag
+    # at construction, so it must be set HERE (the grid's recipe marker
+    # only keys the cache — train_or_load's modify_config cannot flip an
+    # already-built predictor).
     cfg = modify_config(load_config("configs/crowdhuman.yaml"), [
         "model.sam_checkpoint", "", "model.dino_checkpoint", "",
         "model.sam_adapter_checkpoint", "",
+        "tpu.rect_encode", "True",
     ])
     model = CrowdSAM(cfg)
     base_decoder = None
