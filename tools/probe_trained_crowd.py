@@ -47,7 +47,11 @@ def main():
     ]:
         cfg = modify_config(load_config("configs/crowdhuman.yaml"), [
             "model.sam_checkpoint", "", "model.dino_checkpoint", "",
-            "model.sam_adapter_checkpoint", "", *overrides,
+            "model.sam_adapter_checkpoint", "",
+            # match the bench default (PROBE_RECT=0 for the square mode)
+            "tpu.rect_encode",
+            str(os.environ.get("PROBE_RECT", "1") != "0"),
+            *overrides,
         ])
         model = CrowdSAM(cfg)
         t0 = time.time()
