@@ -103,11 +103,19 @@ def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
     from crowdsam_tpu.config import modify_config
     from crowdsam_tpu.utils.checkpoint import load_pytree, save_pytree
 
+    # The encode mode changes the cached features the decoder trains on,
+    # so it is part of the cache identity even when the caller did not put
+    # it in the recipe string (bench.py appends the same marker).
+    key_recipe = recipe
+    if getattr(model.predictor, "rect_encode", False) and \
+            "tpu.rect_encode" not in key_recipe:
+        key_recipe = (key_recipe + "," if key_recipe else "") + \
+            "tpu.rect_encode=True"
     if cache_path is None:
-        cache_path = cache_path_for(steps, lr, recipe)
+        cache_path = cache_path_for(steps, lr, key_recipe)
     meta = {"trained_steps": steps, "trained_lr": lr}
-    if recipe:
-        meta["trained_recipe"] = recipe
+    if key_recipe:
+        meta["trained_recipe"] = key_recipe
     if cache_path and os.path.exists(cache_path):
         state = load_pytree(cache_path)
         model.sam.params["mask_decoder"] = jax.tree_util.tree_map(
