@@ -311,10 +311,17 @@ class CrowdSAM:
         # crowded image instead of an eager jnp.take (which costs a
         # separate compile per bucket shape over the axon tunnel) plus the
         # survivor jit.
+        from crowdsam_tpu.pipeline.engine import (
+            SURVIVOR_BLOB_KEYS, pack_host_blob)
+
         sp = self._survivor_pass
-        self._survivor_gathered = jax.jit(
-            lambda slab, idx, n, hw: sp(jnp.take(slab, idx, axis=0), n, hw)
-        )
+
+        def gathered(slab, idx, n, hw):
+            r = sp(jnp.take(slab, idx, axis=0), n, hw)
+            # One-round-trip host fetch (see engine.pack_host_blob).
+            return pack_host_blob(r, SURVIVOR_BLOB_KEYS)
+
+        self._survivor_gathered = jax.jit(gathered)
         # Device-side row gather for the packed-bitmap overflow fallback.
         # np.asarray(sp["packed"]) would ship the WHOLE slab (16 MB at
         # bucket 128, 42 MB at 320) over the ~60 MB/s tunnel whenever even
@@ -551,12 +558,21 @@ class CrowdSAM:
         in_h, in_w = meta["in_hw"]
         downscale = meta["downscale"]
 
-        # One transfer for all per-detection scalars (each np.asarray is a
-        # separate round trip over the tunnel otherwise).
-        summary = np.asarray(res["summary"])
+        # ONE device->host round trip for everything the tail reads
+        # (summary + the speculative tail's outputs): each separate
+        # np.asarray costs a full ~25-30 ms round trip over the relay and
+        # transfers serialize with device compute there, so the former
+        # 4-fetch sequence was ~80 ms of latency per image.
+        from crowdsam_tpu.pipeline.engine import (
+            ENGINE_BLOB_KEYS, SURVIVOR_BLOB_KEYS, fetch_host_blob)
+
+        fetched = fetch_host_blob(res, ENGINE_BLOB_KEYS)
+        summary = fetched["summary"]
         keep = summary[:, 0] > 0.5
         n = int(keep.sum())
-        self.logger.debug(f"engine consumed {int(res['num_consumed'])} prompts, "
+        # num_consumed rides in the summary blob (col 5) — int() on the
+        # device scalar would force one more round trip per image.
+        self.logger.debug(f"engine consumed {int(summary[0, 5])} prompts, "
                           f"{n} detections")
         if n == 0:
             if self.tail_stats is not None:
@@ -577,13 +593,13 @@ class CrowdSAM:
             and np.array_equal(idx, np.arange(n))
         ):
             sp = {
-                "summary": res["spec_summary"],
-                "rle_svals": res.get("spec_svals"),
-                "rle_cand": res.get("spec_cand"),
-                "rle_ncol": res.get("spec_ncol"),
-                "packed": res.get("spec_packed"),
+                "summary": fetched["spec_summary"],
+                "rle_svals": fetched.get("spec_svals"),
+                "rle_cand": fetched.get("spec_cand"),
+                "rle_ncol": fetched.get("spec_ncol"),
+                "packed": res.get("spec_packed"),  # device; overflow only
             }
-            sp_summary = np.asarray(sp["summary"])[:n]
+            sp_summary = sp["summary"][:n]
             if self.tail_stats is not None:
                 self.tail_stats.append({"n": n, "path": "spec"})
         else:
@@ -597,12 +613,17 @@ class CrowdSAM:
             idx_pad = np.zeros(bucket, dtype=np.int32)
             idx_pad[: min(n, bucket)] = idx[:bucket]
 
-            sp = self._survivor_gathered(
+            spg = self._survivor_gathered(
                 res["logits"], jnp.asarray(idx_pad),
                 jnp.int32(min(n, bucket)),
                 jnp.asarray((in_h, in_w), jnp.int32),
             )
-            sp_summary = np.asarray(sp["summary"])[: min(n, bucket)]
+            sp = fetch_host_blob(spg, SURVIVOR_BLOB_KEYS)
+            sp["rle_svals"] = sp.get("rle_svals")
+            sp["rle_cand"] = sp.get("rle_cand")
+            sp["rle_ncol"] = sp.get("rle_ncol")
+            sp["packed"] = spg["packed"]  # device; overflow only
+            sp_summary = sp["summary"][: min(n, bucket)]
             if self.tail_stats is not None:
                 self.tail_stats.append({"n": n, "path": bucket})
         keep2 = sp_summary[:, 0] > 0.5

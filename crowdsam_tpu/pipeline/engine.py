@@ -100,6 +100,61 @@ class EngineConfig:
         return self.max_iters * self.points_per_batch
 
 
+# Single-round-trip host fetches: every array the host tail reads is
+# packed into ONE 1-D int32 buffer on device (f32 entries bitcast, exact),
+# because each separate np.asarray costs a full ~25-30 ms device->host
+# round trip over the axon relay AND transfers serialize with compute
+# there — 4 sequential fetches per image were ~80 ms of pure latency on
+# the steady-state path.  The unpack uses the (free) shape/dtype metadata
+# of the unfetched device arrays; order is fixed by these key tuples.
+ENGINE_BLOB_KEYS = ("summary", "spec_summary", "spec_cand", "spec_ncol",
+                    "spec_svals")
+SURVIVOR_BLOB_KEYS = ("summary", "rle_cand", "rle_ncol", "rle_svals")
+
+
+def pack_host_blob(out, keys):
+    """Append out["host_blob"]: the named entries (skipping absent ones)
+    flattened into one int32 vector, in `keys` order."""
+    flats = []
+    for k in keys:
+        a = out.get(k)
+        if a is None:
+            continue
+        if a.dtype == jnp.float32:
+            a = jax.lax.bitcast_convert_type(a, jnp.int32)
+        elif a.dtype != jnp.int32:
+            a = a.astype(jnp.int32)
+        flats.append(a.reshape(-1))
+    if flats:
+        out["host_blob"] = jnp.concatenate(flats)
+    return out
+
+
+def fetch_host_blob(container, keys):
+    """ONE device->host round trip for all `keys` present in `container`
+    (a dict of device arrays with a packed "host_blob").  Returns
+    {key: numpy array} with original shapes/dtypes.  Containers without a
+    blob (hand-built test fixtures) fall back to per-array fetches."""
+    import numpy as np
+
+    if "host_blob" not in container:
+        return {k: np.asarray(container[k]) for k in keys
+                if container.get(k) is not None}
+    blob = np.asarray(container["host_blob"])
+    fetched, off = {}, 0
+    for k in keys:
+        a = container.get(k)
+        if a is None:
+            continue
+        n = int(np.prod(a.shape))
+        seg = blob[off:off + n]
+        off += n
+        if a.dtype == jnp.float32:
+            seg = seg.view(np.float32)
+        fetched[k] = seg.reshape(a.shape)
+    return fetched
+
+
 def _select_mask(cfg: EngineConfig, masks, iou_fused):
     """Per-prompt mask selection (reference `model.py:318-331`).
 
@@ -467,6 +522,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
             axis=1,
         )
         out["num_consumed"] = s["consumed"]
+        pack_host_blob(out, ENGINE_BLOB_KEYS)
         return out
 
     jitted = jax.jit(engine)
