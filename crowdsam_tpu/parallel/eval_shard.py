@@ -197,6 +197,12 @@ class ShardedPipeline:
             self._encode_b = jax.jit(encode_b)
             self._engine_b = jax.jit(engine_b)
             self._survivor_b = jax.jit(survivor_b)
+        # Overflow fallback: gather (padded) packed-bitmap rows of ONE
+        # image's slab on device — the full batch slab is
+        # B*bucket*128 KB over a ~60 MB/s link if fetched whole.
+        self._packed_gather_b = jax.jit(
+            lambda packed, bi, si: packed[bi, si]
+        )
         self._key = jax.random.PRNGKey(model.config["environ"].get("seed", 42))
 
     # ------------------------------------------------------------------
@@ -243,8 +249,17 @@ class ShardedPipeline:
             orig_hws = np.stack([m["orig_hw"] for m in metas]).astype(np.float32)
             downs = np.asarray([m["downscale"] for m in metas], np.float32)
 
-            self._key, sub = jax.random.split(self._key)
-            keys = jax.random.split(sub, bb)
+            # Consume the model's RNG stream exactly like sequential
+            # `generate` calls (one split per REAL image; pad repeats reuse
+            # the last sub-key) so batched results match the single-image
+            # path item by item, the generate_many contract.
+            subs = []
+            sk = None
+            for i in range(bb):
+                if i < b:
+                    self.model._key, sk = jax.random.split(self.model._key)
+                subs.append(sk)
+            keys = jnp.stack(subs)
             res = self._engine_b(
                 self.sam.params, feats, dense_pe, proj_r, sim,
                 jnp.asarray(feat_hw), jnp.asarray(in_hws, jnp.float32),
@@ -270,21 +285,47 @@ class ShardedPipeline:
                 jnp.asarray(in_hws, jnp.int32),
             )
             sp_summary = np.asarray(sp["summary"])
-            packed_all = (
-                np.asarray(sp["packed"]) if model.output_rles else None
-            )
+            # Transfer diet (r3): ship the compact change-candidate tables
+            # (32 KB/mask) instead of the full packed bitmaps (128 KB/mask)
+            # — the bitmaps stay on device and only (rare) overflow rows
+            # are gathered.
+            cand_all = ncol_all = svals_all = None
+            if model.output_rles:
+                if sp.get("rle_cand") is not None:
+                    cand_all = np.asarray(sp["rle_cand"])
+                    ncol_all = np.asarray(sp["rle_ncol"])
+                else:
+                    svals_all = np.asarray(sp["rle_svals"])
 
             for i in range(b):
+                def fetch_packed(rows, _i=i):
+                    pad = 8
+                    got = []
+                    for st in range(0, len(rows), pad):
+                        chunk = np.asarray(rows[st:st + pad], np.int32)
+                        si = np.zeros(pad, np.int32)
+                        si[: len(chunk)] = chunk
+                        got.append(np.asarray(self._packed_gather_b(
+                            sp["packed"], jnp.int32(_i), jnp.asarray(si)
+                        ))[: len(chunk)])
+                    return np.concatenate(got, axis=0)
+
                 out.append(
                     _assemble(model, cfg, summaries[i], sp_summary[i],
-                              None if packed_all is None else packed_all[i],
+                              None if cand_all is None else cand_all[i],
+                              None if ncol_all is None else ncol_all[i],
+                              None if svals_all is None else svals_all[i],
+                              fetch_packed if model.output_rles else None,
                               idx_pads[i], int(ns[i]), metas[i])
                 )
         return out
 
 
-def _assemble(model, cfg, summary, sp_summary, packed, idx_pad, n, meta):
-    """Host-side per-image assembly (mirrors CrowdSAM._process_crop tail)."""
+def _assemble(model, cfg, summary, sp_summary, cand, ncol, svals,
+              fetch_packed, idx_pad, n, meta):
+    """Host-side per-image assembly (mirrors CrowdSAM._finalize_crop's
+    tail: change-list RLEs with the packed-bitmap overflow fallback, and
+    full-res box refinement for nonempty masks)."""
     if n == 0:
         d = MaskData()
         d["boxes"] = np.zeros((0, 4))
@@ -318,9 +359,44 @@ def _assemble(model, cfg, summary, sp_summary, packed, idx_pad, n, meta):
         stability_score=summary[idx_final, 4],
         points=summary[idx_final, 10:12] / ds,
     )
-    if packed is not None:
-        full = np.unpackbits(packed[sel], axis=-1)[:, :ih, :iw].astype(bool)
-        data["rles"] = rle_ops.encode_masks_coco(full)
+    if cand is not None or svals is not None:
+        nch = sp_summary[sel, 10].astype(np.int64)
+        total = ih * iw
+        maxc = cfg.max_rle_changes
+        if cand is not None:
+            dec = rle_ops.unpack_cand10(cand[sel])
+            ncol_sel = ncol[sel]
+            sval_of = lambda i: rle_ops.svals_from_cand(
+                dec[i], ncol_sel[i], ih)
+            overflow = np.nonzero(nch > maxc)[0]
+        else:
+            svals_sel = svals[sel]
+            sval_of = lambda i: svals_sel[i, : nch[i]]
+            overflow = np.nonzero(nch > svals_sel.shape[1])[0]
+        ov_map = {}
+        if len(overflow):
+            packed_rows = fetch_packed(sel[overflow])
+            full_ov = np.unpackbits(packed_rows, axis=-1)[
+                :, :ih, :iw
+            ].astype(bool)
+            ov_map = dict(zip(
+                (int(o) for o in overflow),
+                rle_ops.encode_masks_coco(full_ov),
+            ))
+        rles = []
+        for i in range(len(sel)):
+            if i in ov_map:
+                rles.append(ov_map[i])
+            else:
+                rles.append(rle_ops.encode_changes_coco(
+                    sval_of(i), total, (ih, iw)))
+        data["rles"] = rles
+        # Cleaned full-res boxes for nonempty masks (matches
+        # CrowdSAM._finalize_crop / reference model.py:437-440).
+        fr_boxes = sp_summary[sel, 6:10]
+        nonempty = sp_summary[sel, 11] > 0.5
+        boxes_in = np.where(
+            nonempty[:, None], fr_boxes.astype(np.float64), boxes_in)
     else:
         data["rles"] = [None] * len(sel)
     data["boxes"] = boxes_in / ds
