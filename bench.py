@@ -105,8 +105,37 @@ def _timed_regime(model, image, iters, lead=2):
     return results[-1], stats, diag
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """True if the TPU backend initializes in a subprocess within
+    `timeout_s`.  The axon tunnel can go down for hours (observed r3:
+    `jax.devices()` hanging indefinitely); probing out-of-process lets the
+    bench emit a diagnosable artifact instead of hanging the driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() == 'tpu'"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "CrowdHuman crowded images/sec/chip (trained fixture, "
+                      "reference thresholds)",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (axon tunnel outage): the "
+                     "device-init probe timed out — no measurement possible "
+                     "on this machine right now",
+            "backend": "unavailable",
+        }))
+        return
     import jax
 
     # Persistent compilation cache: repeat bench runs skip the ~3-4 min
