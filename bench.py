@@ -105,7 +105,7 @@ def _timed_regime(model, image, iters, lead=2):
     return results[-1], stats, diag
 
 
-def _probe_backend(timeout_s: int = 300) -> bool:
+def _probe_backend_once(timeout_s: int = 120) -> bool:
     """True if the TPU backend initializes in a subprocess within
     `timeout_s`.  The axon tunnel can go down for hours (observed r3:
     `jax.devices()` hanging indefinitely); probing out-of-process lets the
@@ -123,15 +123,35 @@ def _probe_backend(timeout_s: int = 300) -> bool:
         return False
 
 
+def _wait_backend() -> float:
+    """Probe the backend repeatedly for up to BENCH_BACKEND_WAIT_S seconds
+    (default 900) so a short tunnel outage at bench time doesn't cost the
+    round its measurement.  Returns seconds waited, or -1.0 if the backend
+    never came up."""
+    deadline = time.time() + float(
+        os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
+    t0 = time.time()
+    while True:
+        if _probe_backend_once():
+            return time.time() - t0
+        if time.time() >= deadline:
+            return -1.0
+        print(f"# TPU backend unreachable, retrying "
+              f"({time.time() - t0:.0f}s waited)", file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
-    if not _probe_backend():
+    waited_s = _wait_backend()
+    if waited_s < 0:
         print(json.dumps({
             "metric": "CrowdHuman crowded images/sec/chip (trained fixture, "
                       "reference thresholds)",
             "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
             "error": "TPU backend unreachable (axon tunnel outage): the "
-                     "device-init probe timed out — no measurement possible "
+                     "device-init probe timed out for the whole "
+                     "BENCH_BACKEND_WAIT_S window — no measurement possible "
                      "on this machine right now",
             "backend": "unavailable",
         }))
@@ -252,6 +272,7 @@ def main():
         "stages": stages,
         "compile_s": round(compile_s, 1),
         "rect_encode": rect,
+        "backend_wait_s": round(waited_s, 1),
         "backend": jax.default_backend(),
         **extra,
     }
