@@ -41,22 +41,40 @@ def flash_enabled(dtype) -> bool:
         return False
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=128)
 def _block_sizes(seq: int, head_dim: int):
     """Tile sizes tuned on the bench chip (see PERF.md), scaled down for
     large head dims so q/k/v tiles + the f32 scores tile stay inside the
-    ~16 MB VMEM scoped limit."""
+    ~16 MB VMEM scoped limit.
+
+    Kernel invariants (flash_attention.py `_verify_block` + the
+    `BlockSizes.__post_init__` major/minor check) enforced by
+    construction, for EVERY 128-multiple `seq`:
+
+      - block_k_major | seq  and  block_k | seq   (picked from the
+        128-multiple divisors of seq)
+      - block_k | block_k_major                   (picked from the
+        128-multiple divisors of block_k_major, which transitively
+        divide seq)
+      - block_q <= seq (need not divide: the kernel cdiv's the q axis)
+
+    The r3 driver bench crashed here ("block_k=256 should divide
+    block_k_major=640"): the old code picked block_k independently from
+    the divisors of seq, so rect patch grids whose padded length had
+    coprime-ish divisor structure (e.g. 40x64 -> s_pad 2560 -> bkm 640,
+    bk 256) violated the major/minor invariant.  The shape sweep in
+    tests/test_flash_dispatch.py brute-forces every reachable grid.
+    """
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    def best(limit):
-        limit = max(limit, 128)
-        cands = [m * 128 for m in range(1, limit // 128 + 1) if seq % (m * 128) == 0]
-        return max(cands) if cands else 128
+    def divs(n: int, limit: int):
+        limit = max(128, min(limit, n))
+        return [m * 128 for m in range(1, limit // 128 + 1) if n % (m * 128) == 0]
 
     scale = max(1, head_dim // 64)
-    bq = best(1024 // scale)
-    bkm = best(4096 // scale)
-    bk = best(min(bq, bkm))
+    bq = max(divs(seq, 1024 // scale))
+    bkm = max(divs(seq, 4096 // scale))
+    bk = max(divs(bkm, min(bq, bkm)))
     return BlockSizes(
         block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bkm,
