@@ -14,10 +14,14 @@ Round 3 instead TRAINS the model into a realistic operating point
 (utils/bench_fixture.py): `train.full_decoder` on the synthetic 10-shot
 fixture set (annotation statistics matched to the reference's bundled real
 set) teaches genuine prompt-conditioned person segmentation, so detections
-have person-sized boxes, meaningful fused-IoU scores, and CrowdHuman-like
-NMS survivor counts at reference thresholds — no weight surgery, no
-threshold tuning.  The trained decoder is cached under data/ (first run
-on a machine trains, ~10 min; re-runs load).
+have person-sized boxes and meaningful fused-IoU scores at the reference
+thresholds — no weight surgery, no threshold tuning.  Note the default
+800-step fixture OVER-detects vs the reference's CrowdHuman output load
+(~90 survivors on the crowded scene vs the reference's ~20-30; see
+PERF.md "Load calibration") — i.e. the crowded headline measures a
+HEAVIER detection tail than the reference runs; BENCH_TRAIN_RECIPE
+carries the calibration levers.  The trained decoder is cached under
+data/ (first run on a machine trains, ~10 min; re-runs load).
 
 Two scenes, one model:
 - crowded: 22-30 drawn persons (fixture statistics) -> ~100 NMS survivors;
@@ -163,6 +167,192 @@ def _wait_backend() -> float:
         time.sleep(30)
 
 
+def _build_model(rect: bool):
+    from crowdsam_tpu.config import load_config, modify_config
+    from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
+
+    cfg = modify_config(load_config("configs/crowdhuman.yaml"), [
+        "model.sam_checkpoint", "",
+        "model.dino_checkpoint", "",
+        "model.sam_adapter_checkpoint", "",
+        "tpu.rect_encode", str(rect),
+    ])
+    return CrowdSAM(cfg)
+
+
+def _canary(iters: int = 5) -> dict:
+    """Fixed-workload perf canary (VERDICT r3 #6): FROZEN forever so code
+    regressions are separable from bench-workload redefinitions.
+
+    Spec (do not change): square encode, unit-init random weights (no
+    trained fixture), sparse_scene(7) at 683x1024, and the timed quantity
+    is dispatch-to-summary-sync (upload + fused encode + EPS engine) —
+    detection-count independent, so it cannot drift when the fixture or
+    calibration changes.  Comparable to the r1 encode+engine budget
+    (~301 ms minus ~20-40 ms host tail; the r3 init fix changed
+    random-weight DETECTIONS but not this dispatch path's cost)."""
+    from crowdsam_tpu.utils.profiling import force_sync
+
+    model = _build_model(rect=False)
+    from crowdsam_tpu.utils.bench_fixture import sparse_scene
+
+    img = sparse_scene(7)
+    crop_box = [0, 0, img.shape[1], img.shape[0]]
+    res, _ = model._dispatch_crop(img, crop_box)   # compile + warm
+    force_sync(res["summary"])
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        res, _ = model._dispatch_crop(img, crop_box)
+        force_sync(res["summary"])
+        times.append(time.time() - t0)
+    return {"dispatch_median_ms": round(float(np.median(times)) * 1000, 1),
+            "dispatch_iters_ms": [round(t * 1000, 1) for t in times],
+            "spec": "square/random-unit-init/sparse7/dispatch+summary-sync"}
+
+
+def run_measurement(rect: bool, progress: dict) -> dict:
+    """The full measurement at one encode mode.  Fills `progress` with a
+    stage marker + partial results as it goes, so a crash at any point
+    still yields a diagnosable artifact (VERDICT r3 weak #3)."""
+    import jax
+
+    progress["stage"] = "build_model"
+    progress["rect_encode"] = rect
+    model = _build_model(rect)
+
+    progress["stage"] = "fixture_train"
+    t0 = time.time()
+    recipe = os.environ.get("BENCH_TRAIN_RECIPE", "")
+    if rect:
+        # Folded into the recipe so the fixture cache is keyed by the
+        # encode mode (rect-trained decoder weights differ slightly from
+        # square-trained ones); as a config pair it is a no-op re-set.
+        recipe = (recipe + "," if recipe else "") + "tpu.rect_encode=True"
+    from crowdsam_tpu.utils.bench_fixture import (
+        crowd_scene, sparse_scene, train_or_load_decoder)
+
+    fixture_meta = train_or_load_decoder(
+        model,
+        steps=int(os.environ.get("BENCH_TRAIN_STEPS", "800")),
+        lr=float(os.environ.get("BENCH_TRAIN_LR", "2e-4")),
+        recipe=recipe)
+    train_s = time.time() - t0
+    progress["fixture"] = {**fixture_meta, "train_s": round(train_s, 1)}
+    print(f"# trained fixture: {fixture_meta} ({train_s:.0f}s)",
+          file=sys.stderr)
+
+    crowd_img, gt_boxes = crowd_scene(0)
+    sparse_img = sparse_scene(7)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "0"))
+    extra = {}
+    if batch > 1:
+        # Batched/sharded throughput mode (images amortize dispatch +
+        # tunnel-round-trip overhead; the multi-chip eval path).
+        from crowdsam_tpu.parallel.eval_shard import ShardedPipeline
+
+        progress["stage"] = "batched_compile"
+        pipe = ShardedPipeline(model, mesh=None, batch=batch)
+        t0 = time.time()
+        pipe.generate_batch([crowd_img] * batch)
+        compile_s = time.time() - t0
+        progress["stage"] = "batched_timed"
+        t0 = time.time()
+        for _ in range(iters):
+            results = pipe.generate_batch([crowd_img] * batch)
+        total = time.time() - t0
+        per_img = total / (iters * batch) * 1000
+        crowd = {"median_ms": round(per_img, 1), "mean_ms": round(per_img, 1),
+                 "min_ms": None, "iters_ms": [],
+                 "wall_ms_per_img": round(per_img, 1)}
+        cdiag = {"keep_counts": [], "tail_paths": []}
+        cresult = results[0]
+        sparse = dict(crowd)  # batch mode times the crowded scene only
+        sresult, sdiag = cresult, cdiag
+        extra["batch"] = batch
+    else:
+        # Warmup / compile, then prewarm every survivor bucket so the
+        # steady-state loop can never hit a fresh XLA compile (VERDICT r2:
+        # the 1864 ms/img driver capture was in-loop bucket compiles).
+        progress["stage"] = "warmup_compile"
+        t0 = time.time()
+        model.generate(crowd_img)
+        model.generate(sparse_img)
+        model.prewarm_survivors()
+        compile_s = time.time() - t0
+        progress["compile_s"] = round(compile_s, 1)
+
+        progress["stage"] = "crowded_timed"
+        cresult, crowd, cdiag = _timed_regime(model, crowd_img, iters)
+        progress["crowded"] = crowd
+        progress["crowded_diag"] = cdiag
+        progress["stage"] = "sparse_timed"
+        sresult, sparse, sdiag = _timed_regime(model, sparse_img, iters)
+        progress["sparse"] = sparse
+
+        # Supplementary batched-throughput sample (tools/batch_eval.py's
+        # inline mode): B images per dispatch amortize the per-image relay
+        # round trips a production TPU deployment wouldn't pay.  Headline
+        # stays the single-image number; a failure here never voids the
+        # artifact.  BENCH_BATCH_SUPP=0 to skip.
+        progress["stage"] = "batched_supplement"
+        supp = int(os.environ.get("BENCH_BATCH_SUPP", "4"))
+        if supp > 1:
+            extra["batched_supp"] = _batched_supplement(model, crowd_img, supp)
+
+    cn_det = len(cresult["boxes"])
+    sn_det = len(sresult["boxes"])
+    cvalue = 1000.0 / crowd["median_ms"]
+    svalue = 1000.0 / sparse["median_ms"]
+
+    # Per-stage attribution probes (post-timing: they re-run the chain).
+    progress["stage"] = "stage_probes"
+    stages = {"crowded": stage_probe(model, crowd_img),
+              "sparse": stage_probe(model, sparse_img)}
+    progress["stage"] = "done"
+
+    return {
+        "metric": "CrowdHuman crowded images/sec/chip (trained fixture, "
+                  "reference thresholds)",
+        "value": round(cvalue, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(cvalue / 0.5, 3),
+        "crowded_img_s": round(cvalue, 4),
+        "crowded_vs_baseline": round(cvalue / 0.5, 3),
+        "sparse_img_s": round(svalue, 4),
+        "crowded_detections": cn_det,
+        "crowded_gt_persons": len(gt_boxes),
+        "sparse_detections": sn_det,
+        "crowded": crowd,
+        "sparse": sparse,
+        "crowded_diag": cdiag,
+        "sparse_diag": sdiag,
+        "fixture": progress["fixture"],
+        "stages": stages,
+        "compile_s": round(compile_s, 1),
+        "rect_encode": rect,
+        "backend": jax.default_backend(),
+        **extra,
+    }
+
+
+def _error_artifact(progress: dict, exc: BaseException) -> dict:
+    import traceback
+
+    tb = traceback.format_exc(limit=12)
+    return {
+        "metric": "CrowdHuman crowded images/sec/chip (trained fixture, "
+                  "reference thresholds)",
+        "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+        "error": f"{type(exc).__name__}: {exc}"[:500],
+        "stage": progress.get("stage", "unknown"),
+        "partial": {k: v for k, v in progress.items() if k != "stage"},
+        "traceback_tail": tb[-1500:],
+    }
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
     waited_s = _wait_backend()
@@ -188,132 +378,60 @@ def main():
     except Exception:
         pass
 
-    from crowdsam_tpu.config import load_config, modify_config
-    from crowdsam_tpu.pipeline.crowdsam import CrowdSAM
-    from crowdsam_tpu.utils.bench_fixture import (
-        crowd_scene, sparse_scene, train_or_load_decoder)
-
     # rect_encode: the TPU-native production mode (encode only the valid
     # band of the 2:3-aspect image; ~33% encode FLOPs).  Metric-neutral —
-    # cross-AP 0.997/recall 1.000 vs square mode even under random
-    # amplified weights (tests/test_ap_parity.py::
-    # test_ap_parity_rect_encode_vs_square); reference thresholds are
-    # untouched.  BENCH_RECT=0 measures the reference-exact square encode.
+    # cross-AP bound documented in PARITY.md #9 (tests/test_ap_parity.py);
+    # reference thresholds are untouched.  BENCH_RECT=0 measures the
+    # reference-exact square encode.  A failure anywhere on the rect path
+    # automatically retries the whole measurement square (the r3 lesson:
+    # the rect flash dispatch crashed the driver bench with no artifact).
     rect = os.environ.get("BENCH_RECT", "1") != "0"
-    cfg = modify_config(load_config("configs/crowdhuman.yaml"), [
-        "model.sam_checkpoint", "",
-        "model.dino_checkpoint", "",
-        "model.sam_adapter_checkpoint", "",
-        "tpu.rect_encode", str(rect),
-    ])
+    progress = {}
+    try:
+        out = run_measurement(rect, progress)
+    except BaseException as exc:  # noqa: BLE001 — artifact, then maybe retry
+        if isinstance(exc, KeyboardInterrupt):
+            raise
+        failed = _error_artifact(progress, exc)
+        print(f"# measurement failed at stage={failed['stage']}: "
+              f"{failed['error']}", file=sys.stderr)
+        if not rect:
+            print(json.dumps(failed))
+            return
+        progress = {}
+        try:
+            out = run_measurement(False, progress)
+            out["rect_attempt"] = {"error": failed["error"],
+                                   "stage": failed["stage"]}
+            out["rect_encode"] = False
+        except BaseException as exc2:  # noqa: BLE001
+            if isinstance(exc2, KeyboardInterrupt):
+                raise
+            second = _error_artifact(progress, exc2)
+            second["rect_attempt"] = {"error": failed["error"],
+                                      "stage": failed["stage"]}
+            print(json.dumps(second))
+            return
 
-    model = CrowdSAM(cfg)
-    t0 = time.time()
-    recipe = os.environ.get("BENCH_TRAIN_RECIPE", "")
-    if rect:
-        # Folded into the recipe so the fixture cache is keyed by the
-        # encode mode (rect-trained decoder weights differ slightly from
-        # square-trained ones); as a config pair it is a no-op re-set.
-        recipe = (recipe + "," if recipe else "") + "tpu.rect_encode=True"
-    fixture_meta = train_or_load_decoder(
-        model,
-        steps=int(os.environ.get("BENCH_TRAIN_STEPS", "800")),
-        lr=float(os.environ.get("BENCH_TRAIN_LR", "2e-4")),
-        recipe=recipe)
-    train_s = time.time() - t0
-    print(f"# trained fixture: {fixture_meta} ({train_s:.0f}s)",
-          file=sys.stderr)
+    # Fixed-workload canary: never fatal, always attempted.
+    if os.environ.get("BENCH_CANARY", "1") != "0":
+        try:
+            t0 = time.time()
+            out["canary"] = _canary()
+            out["canary"]["canary_s"] = round(time.time() - t0, 1)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            out["canary"] = {"error": repr(e)[:200]}
 
-    crowd_img, gt_boxes = crowd_scene(0)
-    sparse_img = sparse_scene(7)
-
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    batch = int(os.environ.get("BENCH_BATCH", "0"))
-    extra = {}
-    if batch > 1:
-        # Batched/sharded throughput mode (images amortize dispatch +
-        # tunnel-round-trip overhead; the multi-chip eval path).
-        from crowdsam_tpu.parallel.eval_shard import ShardedPipeline
-
-        pipe = ShardedPipeline(model, mesh=None, batch=batch)
-        t0 = time.time()
-        pipe.generate_batch([crowd_img] * batch)
-        compile_s = time.time() - t0
-        t0 = time.time()
-        for _ in range(iters):
-            results = pipe.generate_batch([crowd_img] * batch)
-        total = time.time() - t0
-        per_img = total / (iters * batch) * 1000
-        crowd = {"median_ms": round(per_img, 1), "mean_ms": round(per_img, 1),
-                 "min_ms": None, "iters_ms": [],
-                 "wall_ms_per_img": round(per_img, 1)}
-        cdiag = {"keep_counts": [], "tail_paths": []}
-        cresult = results[0]
-        sparse = dict(crowd)  # batch mode times the crowded scene only
-        sresult, sdiag = cresult, cdiag
-        extra["batch"] = batch
-    else:
-        # Warmup / compile, then prewarm every survivor bucket so the
-        # steady-state loop can never hit a fresh XLA compile (VERDICT r2:
-        # the 1864 ms/img driver capture was in-loop bucket compiles).
-        t0 = time.time()
-        model.generate(crowd_img)
-        model.generate(sparse_img)
-        model.prewarm_survivors()
-        compile_s = time.time() - t0
-
-        cresult, crowd, cdiag = _timed_regime(model, crowd_img, iters)
-        sresult, sparse, sdiag = _timed_regime(model, sparse_img, iters)
-
-        # Supplementary batched-throughput sample (tools/batch_eval.py's
-        # inline mode): B images per dispatch amortize the per-image relay
-        # round trips a production TPU deployment wouldn't pay.  Headline
-        # stays the single-image number; a failure here never voids the
-        # artifact.  BENCH_BATCH_SUPP=0 to skip.
-        supp = int(os.environ.get("BENCH_BATCH_SUPP", "4"))
-        if supp > 1:
-            extra["batched_supp"] = _batched_supplement(model, crowd_img, supp)
-
-    cn_det = len(cresult["boxes"])
-    sn_det = len(sresult["boxes"])
-    cvalue = 1000.0 / crowd["median_ms"]
-    svalue = 1000.0 / sparse["median_ms"]
-
-    # Per-stage attribution probes (post-timing: they re-run the chain).
-    stages = {"crowded": stage_probe(model, crowd_img),
-              "sparse": stage_probe(model, sparse_img)}
-
-    out = {
-        "metric": "CrowdHuman crowded images/sec/chip (trained fixture, "
-                  "reference thresholds)",
-        "value": round(cvalue, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(cvalue / 0.5, 3),
-        "crowded_img_s": round(cvalue, 4),
-        "crowded_vs_baseline": round(cvalue / 0.5, 3),
-        "sparse_img_s": round(svalue, 4),
-        "crowded_detections": cn_det,
-        "crowded_gt_persons": len(gt_boxes),
-        "sparse_detections": sn_det,
-        "crowded": crowd,
-        "sparse": sparse,
-        "crowded_diag": cdiag,
-        "sparse_diag": sdiag,
-        "fixture": {**fixture_meta, "train_s": round(train_s, 1)},
-        "stages": stages,
-        "compile_s": round(compile_s, 1),
-        "rect_encode": rect,
-        "backend_wait_s": round(waited_s, 1),
-        "backend": jax.default_backend(),
-        **extra,
-    }
+    out["backend_wait_s"] = round(waited_s, 1)
     print(json.dumps(out))
+    crowd, cdiag = out["crowded"], out["crowded_diag"]
     print(
-        f"# compile {compile_s:.1f}s; crowded median {crowd['median_ms']:.0f}"
-        f" ms/img ({cn_det} det / {len(gt_boxes)} gt, keep"
-        f" {cdiag['keep_counts'][:4]}..., paths {cdiag['tail_paths'][:4]}...),"
-        f" sparse median {sparse['median_ms']:.0f} ms/img ({sn_det} det),"
-        f" backend={jax.default_backend()}",
+        f"# compile {out['compile_s']:.1f}s; crowded median "
+        f"{crowd['median_ms']:.0f} ms/img ({out['crowded_detections']} det /"
+        f" {out['crowded_gt_persons']} gt, keep {cdiag['keep_counts'][:4]}...,"
+        f" paths {cdiag['tail_paths'][:4]}...), sparse median "
+        f"{out['sparse']['median_ms']:.0f} ms/img "
+        f"({out['sparse_detections']} det), backend={out['backend']}",
         file=sys.stderr,
     )
 

@@ -171,7 +171,8 @@ def _select_mask(cfg: EngineConfig, masks, iou_fused):
 
 
 def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
-                    spec_with_masks=None, spec_allow_kernel: bool = True):
+                    spec_with_masks=None, spec_allow_kernel: bool = True,
+                    shard_axis=None, shard_num: int = 1):
     """Build the jitted single-image decode engine.
 
     `spec_with_masks` (None | bool): when not None, the survivor tail for
@@ -192,12 +193,32 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
     - feat_hw: (2,) valid region of sim_map (long side == grid)
     - input_hw: (2,) resized image size inside the padded 1024^2 frame
     - crop_box, orig_hw, downscale: uncrop bookkeeping for the edge filter
+
+    `shard_axis`/`shard_num`: prompt-axis model parallelism over ICI
+    (SURVEY §2.5's "headline throughput lever"; BASELINE.json configs[4]).
+    When set, the engine body must run INSIDE `shard_map` over a mesh axis
+    named `shard_axis` of size `shard_num`, with every input replicated:
+    each chip decodes K/shard_num prompts of every 32-prompt EPS batch,
+    the occupancy bitmap is reduced collectively each iteration (psum-OR,
+    the only sequential cross-prompt dependency in the reference's EPS
+    loop, /root/reference/crowdsam/model.py:229-247), and after the loop
+    the small per-detection arrays are all-gathered (iteration-major order
+    restored) while only the top max_keep mask slabs cross ICI via a
+    masked psum.  Semantics are exactly the single-chip engine's — pinned
+    by tests/test_prompt_shard.py on the virtual device mesh.
     """
     G = cfg.grid_size
     K = cfg.points_per_batch
     R = cfg.low_res
     N = G * G
     SLAB = cfg.slab
+    sharded = shard_axis is not None and shard_num > 1
+    if sharded:
+        assert K % shard_num == 0, (
+            f"points_per_batch {K} must divide over '{shard_axis}' "
+            f"({shard_num} shards)")
+    KL = K // shard_num if sharded else K          # prompts per shard
+    SLAB_L = cfg.max_iters * KL                     # local slab rows
 
     num_heads = mask_decoder.transformer_num_heads
     dec_dtype = mask_decoder.dtype
@@ -275,19 +296,19 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
         # ------------------------------------------------------------------
         # Slabs
         # ------------------------------------------------------------------
-        logit_shape = (SLAB, BH * BH, 16) if fused else (SLAB, R, R)
+        logit_shape = (SLAB_L, BH * BH, 16) if fused else (SLAB_L, R, R)
         state = dict(
             it=jnp.int32(0),
             consumed=jnp.int32(0),
             alive=alive0,
             occupy=jnp.zeros((R * R,), dtype=bool),
             logits=jnp.zeros(logit_shape, dtype=jnp.bfloat16),
-            iou=jnp.full((SLAB,), -jnp.inf, dtype=jnp.float32),
-            cat=jnp.zeros((SLAB,), dtype=jnp.int32),
-            stab=jnp.zeros((SLAB,), dtype=jnp.float32),
-            boxes=jnp.zeros((SLAB, 4), dtype=jnp.float32),  # low-res frame
-            points=jnp.zeros((SLAB, 2), dtype=jnp.float32),
-            valid=jnp.zeros((SLAB,), dtype=bool),
+            iou=jnp.full((SLAB_L,), -jnp.inf, dtype=jnp.float32),
+            cat=jnp.zeros((SLAB_L,), dtype=jnp.int32),
+            stab=jnp.zeros((SLAB_L,), dtype=jnp.float32),
+            boxes=jnp.zeros((SLAB_L, 4), dtype=jnp.float32),  # low-res frame
+            points=jnp.zeros((SLAB_L, 2), dtype=jnp.float32),
+            valid=jnp.zeros((SLAB_L,), dtype=bool),
         )
 
         def cond(s):
@@ -298,18 +319,26 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
             )
 
         def body(s):
-            (sel_idx,) = jnp.nonzero(s["alive"], size=K, fill_value=N)
+            (sel_full,) = jnp.nonzero(s["alive"], size=K, fill_value=N)
+            # alive/consumed bookkeeping stays replicated (every shard
+            # computes the identical full-batch selection).
+            alive = s["alive"].at[sel_full].set(False, mode="drop")
+            consumed = s["consumed"] + jnp.sum(sel_full < N).astype(jnp.int32)
+            if sharded:
+                rank = jax.lax.axis_index(shard_axis)
+                sel_idx = jax.lax.dynamic_slice_in_dim(
+                    sel_full, rank * KL, KL)
+            else:
+                sel_idx = sel_full
             sel_ok = sel_idx < N
             safe_idx = jnp.minimum(sel_idx, N - 1)
-            coords = pts[safe_idx].astype(jnp.float32)  # (K, 2)
-            alive = s["alive"].at[sel_idx].set(False, mode="drop")
-            consumed = s["consumed"] + jnp.sum(sel_ok).astype(jnp.int32)
+            coords = pts[safe_idx].astype(jnp.float32)  # (KL, 2)
 
             # ---- decode batch (reference model.py:334-390) ----
             tcoords = coords * coord_factor
             sparse, dense = prompt_encoder.apply(
                 {"params": params["prompt_encoder"]},
-                points=(tcoords[:, None, :], jnp.ones((K, 1), jnp.int32)),
+                points=(tcoords[:, None, :], jnp.ones((KL, 1), jnp.int32)),
             )
             if fused:
                 masks, iou_pred, cls_scores = fused_decode(
@@ -346,7 +375,7 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
             iou_fused = jnp.clip(iou_pred, 0.0) * jax.nn.sigmoid(cls_best)
 
             ind = _select_mask(cfg, masks, iou_fused)
-            take = (jnp.arange(K), ind)
+            take = (jnp.arange(KL), ind)
             m_sel = masks[take]                  # (K, R, R) logits f32
             iou_sel = iou_fused[take]
             cat_sel = categories[take]
@@ -378,10 +407,15 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
             # ---- occupy update + pruning (model.py:246,238-239) ----
             hot = binm & (keep & (iou_sel > cfg.filter_thresh))[:, None, None]
             occ_new = jnp.any(hot, axis=0).reshape(-1)
+            if sharded:
+                # Collective occupy reduce: OR over every shard's prompts —
+                # the one cross-prompt dependency per EPS iteration.
+                occ_new = jax.lax.psum(
+                    occ_new.astype(jnp.int32), shard_axis) > 0
             occupy = (s["occupy"] | occ_new) if cfg.accumulate_occupy else occ_new
             alive &= ~occupy[occ_idx]
 
-            off = s["it"] * K
+            off = s["it"] * KL
             upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
                 buf, val.astype(buf.dtype), off, axis=0
             )
@@ -401,25 +435,59 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
 
         s = jax.lax.while_loop(cond, body, state)
 
+        if sharded:
+            # Restore iteration-major slab order from the per-shard slabs:
+            # full[it*K + r*KL + j] = shard_r[it*KL + j].  Only the SMALL
+            # per-detection arrays are all-gathered; the mask slabs stay
+            # sharded and only the top max_keep rows cross ICI below.
+            iters = cfg.max_iters
+
+            def gather_slab(x):
+                ax = jax.lax.all_gather(x, shard_axis)   # (M, SLAB_L, ...)
+                ax = ax.reshape((shard_num, iters, KL) + x.shape[1:])
+                ax = jnp.moveaxis(ax, 0, 1)              # (iters, M, KL, ..)
+                return ax.reshape((iters * K,) + x.shape[1:])
+
+            full = {k: gather_slab(s[k])
+                    for k in ("iou", "cat", "stab", "boxes", "points",
+                              "valid")}
+        else:
+            full = s
+
         # ------------------------------------------------------------------
         # Box NMS over the whole slab (model.py:257-263)
         # ------------------------------------------------------------------
-        keep_nms = nms_mask(s["boxes"], s["iou"], cfg.box_nms_thresh, s["valid"])
+        keep_nms = nms_mask(full["boxes"], full["iou"], cfg.box_nms_thresh,
+                            full["valid"])
 
         # Compact survivors into a max_keep slab (score-descending); packed
         # slab logits are unpacked to spatial here, once, for survivors only.
-        score_key = jnp.where(keep_nms, s["iou"], -jnp.inf)
+        score_key = jnp.where(keep_nms, full["iou"], -jnp.inf)
         top = jnp.argsort(-score_key)[: cfg.max_keep]
-        top_logits = s["logits"][top]
+        if sharded:
+            # Masked-psum gather of the selected mask rows: each shard
+            # contributes the rows it owns (zeros elsewhere); the psum
+            # reassembles the replicated top slab (max_keep rows over ICI
+            # instead of the whole SLAB).
+            rem = top % K
+            owner = rem // KL
+            local = (top // K) * KL + (rem % KL)
+            rank = jax.lax.axis_index(shard_axis)
+            rows = s["logits"][local]
+            mine = (owner == rank)[:, None, None]
+            top_logits = jax.lax.psum(
+                jnp.where(mine, rows, jnp.zeros((), rows.dtype)), shard_axis)
+        else:
+            top_logits = s["logits"][top]
         if fused:
             top_logits = unpack_spatial(top_logits, BH, BH)
         out = {
             "logits": top_logits,
-            "iou": s["iou"][top],
-            "categories": s["cat"][top],
-            "stability": s["stab"][top],
-            "boxes": s["boxes"][top],
-            "points": s["points"][top],
+            "iou": full["iou"][top],
+            "categories": full["cat"][top],
+            "stability": full["stab"][top],
+            "boxes": full["boxes"][top],
+            "points": full["points"][top],
             "valid": keep_nms[top],
         }
 

@@ -40,13 +40,26 @@ def cache_path_for(steps: int, lr: float, recipe: str = "") -> str:
     legacy unkeyed name so existing machine-local caches stay valid."""
     if steps == 800 and abs(lr - 2e-4) < 1e-12 and not recipe:
         return CACHE_PATH
+    return os.path.join("data", _keyed_name(steps, lr, recipe))
+
+
+def _keyed_name(steps: int, lr: float, recipe: str) -> str:
     tag = ""
     if recipe:
         import hashlib
 
         tag = "_" + hashlib.sha1(recipe.encode()).hexdigest()[:8]
-    return os.path.join(
-        "data", f"bench_trained_decoder_s{steps}_lr{lr:g}{tag}.msgpack")
+    return f"bench_trained_decoder_s{steps}_lr{lr:g}{tag}.msgpack"
+
+
+def committed_path_for(steps: int, lr: float, recipe: str = "") -> str:
+    """Repo-committed fixture weights (adapter_weights/, tracked in git) so
+    a fresh driver machine skips the ~8 min on-chip training — analogous to
+    the reference loading pretrained adapters instead of training at eval
+    time (/root/reference/crowdsam/model.py:93).  Keyed identically to the
+    machine-local cache; provenance (recipe string) lives in the sidecar
+    .json next to each file."""
+    return os.path.join("adapter_weights", _keyed_name(steps, lr, recipe))
 
 
 def crowd_scene(seed: int, h: int = 683, w: int = 1024,
@@ -116,12 +129,16 @@ def train_or_load_decoder(model, steps: int = 800, lr: float = 2e-4,
     meta = {"trained_steps": steps, "trained_lr": lr}
     if key_recipe:
         meta["trained_recipe"] = key_recipe
-    if cache_path and os.path.exists(cache_path):
-        state = load_pytree(cache_path)
-        model.sam.params["mask_decoder"] = jax.tree_util.tree_map(
-            jnp.asarray, state["mask_decoder"])
-        meta["trained_cache"] = "hit"
-        return meta
+    # Committed weights first (fresh driver machines skip training), then
+    # the machine-local cache, then train-on-miss.
+    committed = committed_path_for(steps, lr, key_recipe)
+    for path, provenance in ((committed, "committed"), (cache_path, "hit")):
+        if path and os.path.exists(path):
+            state = load_pytree(path)
+            model.sam.params["mask_decoder"] = jax.tree_util.tree_map(
+                jnp.asarray, state["mask_decoder"])
+            meta["trained_cache"] = provenance
+            return meta
 
     from crowdsam_tpu.train.dataset import CrowdHumanDataset
     from crowdsam_tpu.train.trainer import AdapterTrainer

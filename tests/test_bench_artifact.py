@@ -1,0 +1,170 @@
+"""bench.py crash diagnosability (VERDICT r3 #3).
+
+The r3 driver bench crashed with rc=1 and a raw traceback — zero JSON, so
+the artifact of record recorded nothing about the stage, fixture, or config
+that failed.  These tests fault-inject every measurement stage and assert
+the process still emits ONE parseable JSON line carrying the stage name,
+the error, and any partial results — and that a rect-path failure
+automatically retries the whole measurement square.
+
+All CPU: the heavy pieces (model build, fixture training, timed loops) are
+monkeypatched out; what is under test is the bench harness control flow.
+"""
+
+import json
+
+import pytest
+
+import bench
+
+
+class _FakeModel:
+    def __init__(self):
+        self.tail_stats = None
+        self.sam = type("S", (), {"params": {}})()
+
+    def generate(self, img):
+        return {"boxes": [[0, 0, 1, 1]]}
+
+    def generate_many(self, imgs, times_out=None):
+        if times_out is not None:
+            times_out.extend([0.1] * len(imgs))
+        self.tail_stats = [{"n": 1, "path": "spec"} for _ in imgs]
+        return [{"boxes": [[0, 0, 1, 1]]} for _ in imgs]
+
+    def prewarm_survivors(self):
+        pass
+
+    def crop_image(self, img, box):
+        pass
+
+    def _dispatch_crop(self, img, box):
+        return {"summary": 0}, {}
+
+    def _finalize_crop(self, res, meta):
+        return {"boxes": [[0, 0, 1, 1]]}
+
+
+class _FakePredictor:
+    def set_image_presized(self, img):
+        pass
+
+    def get_image_embedding(self):
+        return 0
+
+
+def _patch_happy_path(monkeypatch):
+    import numpy as np
+
+    fake = _FakeModel()
+    fake.predictor = _FakePredictor()
+    fake.image = None
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+
+    monkeypatch.setattr(bench, "_wait_backend", lambda: 0.0)
+    monkeypatch.setattr(bench, "_build_model", lambda rect: fake)
+    monkeypatch.setattr(bench, "_canary", lambda iters=5: {
+        "dispatch_median_ms": 1.0, "dispatch_iters_ms": [1.0],
+        "spec": "stub"})
+    monkeypatch.setattr(
+        bench, "stage_probe",
+        lambda model, image: {"encode_ms": 1, "dispatch_ms": 1,
+                              "finalize_ms": 1})
+    monkeypatch.setattr(bench, "_batched_supplement",
+                        lambda model, image, batch, iters=3: {"batch": batch})
+
+    import sys
+    import types
+
+    fixture_mod = types.ModuleType("crowdsam_tpu.utils.bench_fixture")
+    fixture_mod.crowd_scene = lambda seed, **kw: (img, [(0, 0, 1, 1)])
+    fixture_mod.sparse_scene = lambda seed, **kw: img
+    fixture_mod.train_or_load_decoder = (
+        lambda model, steps, lr, recipe="": {"trained_steps": steps,
+                                             "trained_cache": "stub"})
+    monkeypatch.setitem(sys.modules, "crowdsam_tpu.utils.bench_fixture",
+                        fixture_mod)
+    # main() does `import jax` + jax.config updates: real jax on CPU is fine.
+    return fake
+
+
+def _run_main(capsys):
+    bench.main()
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected exactly one JSON line, got {lines}"
+    return json.loads(lines[0])
+
+
+def test_happy_path_emits_json(monkeypatch, capsys):
+    _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    out = _run_main(capsys)
+    assert out["value"] > 0
+    assert out["crowded_vs_baseline"] > 0
+    assert out["canary"]["dispatch_median_ms"] == 1.0
+    assert "error" not in out
+
+
+@pytest.mark.parametrize("stage_fn,stage_name", [
+    ("_build_model", "build_model"),
+    ("_timed_regime", "crowded_timed"),
+    ("stage_probe", "stage_probes"),
+])
+def test_fault_injection_yields_artifact(monkeypatch, capsys, stage_fn,
+                                         stage_name):
+    """Killing any stage (square mode, no retry) still yields one JSON line
+    with the stage name, the error, and partial results."""
+    _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    monkeypatch.setenv("BENCH_RECT", "0")
+
+    def boom(*a, **kw):
+        raise ValueError("injected-fault")
+
+    monkeypatch.setattr(bench, stage_fn, boom)
+    out = _run_main(capsys)
+    assert "injected-fault" in out["error"]
+    assert out["stage"] == stage_name
+    assert out["value"] == 0.0
+    assert "partial" in out and "traceback_tail" in out
+
+
+def test_rect_failure_retries_square(monkeypatch, capsys):
+    """A rect-path crash retries the whole measurement square and records
+    the failed rect attempt in the artifact (the r3 lesson)."""
+    fake = _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    monkeypatch.setenv("BENCH_RECT", "1")
+
+    real_timed = bench._timed_regime
+    calls = {"n": 0}
+
+    def flaky(model, image, iters, lead=2):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first (rect) crowded loop crashes
+            raise ValueError("rect-only-crash")
+        return real_timed(model, image, iters, lead)
+
+    monkeypatch.setattr(bench, "_timed_regime", flaky)
+    out = _run_main(capsys)
+    assert out["value"] > 0, out
+    assert out["rect_encode"] is False
+    assert "rect-only-crash" in out["rect_attempt"]["error"]
+    assert out["rect_attempt"]["stage"] == "crowded_timed"
+
+
+def test_double_failure_still_emits_artifact(monkeypatch, capsys):
+    """Rect fails AND the square retry fails: still one JSON line, both
+    errors recorded."""
+    _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    monkeypatch.setenv("BENCH_RECT", "1")
+
+    def boom(*a, **kw):
+        raise RuntimeError("always-crashes")
+
+    monkeypatch.setattr(bench, "_timed_regime", boom)
+    out = _run_main(capsys)
+    assert out["value"] == 0.0
+    assert "always-crashes" in out["error"]
+    assert "always-crashes" in out["rect_attempt"]["error"]
