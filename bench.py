@@ -314,22 +314,18 @@ def run_measurement(rect: bool, progress: dict) -> dict:
         sresult, sdiag = cresult, cdiag
         extra["batch"] = batch
     else:
-        # Warmup / compile, then prewarm every survivor bucket so the
-        # steady-state loop can never hit a fresh XLA compile (VERDICT r2:
-        # the 1864 ms/img driver capture was in-loop bucket compiles).
-        # The bucket prewarm runs CONCURRENTLY with the warmup generates:
-        # both are dominated by trace+lower host work that releases the
-        # GIL, so overlapping them cuts the warm-cache compile phase
-        # ~330 s -> target <~150 s (PERF.md "Round 4 compile budget").
+        # Warmup / compile: prewarm_pipeline traces+compiles the encode,
+        # fg/sim, engine, and every survivor bucket CONCURRENTLY (the work
+        # is GIL-releasing host trace/lower; overlapping cut the warm-cache
+        # compile phase ~360 s -> target <~120 s, PERF.md "Round 4 compile
+        # budget"), then the warmup generates run against warm programs —
+        # the steady-state loop can never hit a fresh XLA compile (VERDICT
+        # r2: the 1864 ms/img driver capture was in-loop bucket compiles).
         progress["stage"] = "warmup_compile"
-        import threading
-
         t0 = time.time()
-        pw = threading.Thread(target=model.prewarm_survivors)
-        pw.start()
+        model.prewarm_pipeline(crowd_img)
         model.generate(crowd_img)
         model.generate(sparse_img)
-        pw.join()
         compile_s = time.time() - t0
         progress["compile_s"] = round(compile_s, 1)
 

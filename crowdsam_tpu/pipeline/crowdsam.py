@@ -402,6 +402,101 @@ class CrowdSAM:
                 jnp.zeros((spec_n, s, s // 8), jnp.uint8), idx0
             )
 
+    def prewarm_pipeline(self, image) -> None:
+        """Cold-start precompilation: trace+lower+compile the per-image
+        device programs CONCURRENTLY, instead of discovering them serially
+        inside the first `generate()` call.
+
+        On a warm persistent compile cache the first generate() still pays
+        ~137 s of host-side trace+lower (encode -> fg/sim -> engine, each
+        program's cache key only exists after lowering) plus ~190 s of
+        bucket prewarm — all GIL-releasing host work that threads overlap
+        (PERF.md "Round 4 compile budget").  Four concurrent groups:
+
+        - the REAL encode on `image`'s crop (its resized shape decides the
+          upload bucket via `predictor.encode_bucket_hw`, so the compiled
+          program matches every later call at this aspect);
+        - the EPS engine on zero-filled inputs whose avals are derived
+          with jax.eval_shape from the encode impl (no device work needed
+          to know them; the zero sim_map makes the engine's while_loop
+          exit immediately once compiled);
+        - the FG-map + sim-prep programs on a zero DINO feature map;
+        - `prewarm_survivors` (itself bucket-threaded).
+
+        The RNG stream is NOT advanced (the dummy engine key comes from a
+        non-persisted split), so generate() results are identical whether
+        or not this ran.  HQ / train-free variants fall back to the
+        survivor prewarm only (their cache layout and sim path differ).
+        Harmless (only wasteful) if shapes ever drift from the real call:
+        generate() would just compile the real program then."""
+        if self.train_free or self.predictor.is_hq or self.crop_n_layers != 0:
+            self.prewarm_survivors()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not isinstance(image, np.ndarray):
+            image = np.array(image, dtype=np.uint8)
+        crop_box = [0, 0, image.shape[1], image.shape[0]]
+        self.crop_image(image, crop_box)  # host-only: resized crop + scale
+        img = self.image
+        in_h, in_w = img.shape[:2]
+        cfg = self.engine_cfg
+
+        hb, wb = self.predictor.encode_bucket_hw(in_h, in_w)
+        cache_avals = jax.eval_shape(
+            self.predictor._encode_impl,
+            self.sam.params,
+            self.predictor.dino_params,
+            jax.ShapeDtypeStruct((1, hb, wb, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        )
+
+        def zeros(aval):
+            return jnp.zeros(aval.shape, aval.dtype)
+
+        r = cfg.grid_size / max(in_h, in_w)
+        feat_hw = (int(in_h * r), int(in_w * r))
+        orig_h, orig_w = image.shape[:2]
+        sub = jax.random.split(self._key)[1]  # aval match; key NOT advanced
+
+        def warm_encode():
+            self.predictor.set_image_presized(img)
+
+        def warm_engine():
+            if "dino_proj_256" in cache_avals:
+                dino_proj = zeros(cache_avals["dino_proj_256"])
+            else:  # vanilla-SAM fallback mirrors _dispatch_crop
+                lr = cfg.low_res
+                dino_proj = jnp.zeros((lr, lr, 256))
+            self.engine(
+                self.sam.params,
+                zeros(cache_avals["features"]),
+                zeros(cache_avals["dense_pe"]),
+                dino_proj,
+                jnp.zeros((cfg.grid_size, cfg.grid_size), jnp.float32),
+                jnp.asarray(feat_hw, jnp.float32),
+                jnp.asarray((in_h, in_w), jnp.float32),
+                jnp.asarray(crop_box, jnp.float32),
+                jnp.asarray((orig_h, orig_w), jnp.float32),
+                jnp.float32(self.downscale),
+                sub,
+            )
+
+        def warm_fg():
+            if "dino_feats" not in cache_avals:
+                return
+            fg = self.predictor._fg_map_jit(
+                self.sam.params, zeros(cache_avals["dino_feats"])
+            )
+            self._sim_prep(fg)
+
+        with ThreadPoolExecutor(4) as ex:
+            futs = [ex.submit(f) for f in
+                    (warm_encode, warm_engine, warm_fg,
+                     self.prewarm_survivors)]
+            for f in futs:
+                f.result()
+
     def crop_image(self, image, crop_box):
         x0, y0, x1, y1 = crop_box
         if not isinstance(image, np.ndarray):

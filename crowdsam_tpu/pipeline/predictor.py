@@ -195,6 +195,17 @@ class SamPredictor:
         self.set_image_presized(input_image)
         self.original_size = tuple(image.shape[:2])
 
+    def encode_bucket_hw(self, h: int, w: int) -> tuple:
+        """Upload-bucket shape for an input of (h, w): rect mode buckets at
+        64 px (4 patch rows) so the encode tracks the valid band tightly;
+        square mode keeps the coarse 256 px buckets (the pad to the square
+        SAM frame happens on device either way).  Shared by
+        `set_image_presized` and `CrowdSAM.prewarm_pipeline` so the
+        precompiled encode program always matches the real call's shape."""
+        s = self.model.img_size
+        gran = 64 if self.rect_encode else 256
+        return (min(-(-h // gran) * gran, s), min(-(-w // gran) * gran, s))
+
     def set_image_presized(self, image: np.ndarray) -> None:
         """Fast path used by the CrowdSAM pipeline: `image` is already
         resized (long side == img_size); skips the PIL resize no-op.
@@ -206,13 +217,7 @@ class SamPredictor:
         everything outside input_hw, so this is bit-identical."""
         self.original_size = tuple(image.shape[:2])
         self.input_size = tuple(image.shape[:2])
-        s = self.model.img_size
-        # Rect mode buckets at 64 px (4 patch rows) so the encode tracks the
-        # valid band tightly; square mode keeps the coarse 256 px buckets
-        # (the pad to the square frame happens on device either way).
-        gran = 64 if self.rect_encode else 256
-        hb = min(-(-image.shape[0] // gran) * gran, s)
-        wb = min(-(-image.shape[1] // gran) * gran, s)
+        hb, wb = self.encode_bucket_hw(image.shape[0], image.shape[1])
         bucket = np.zeros((hb, wb, 3), dtype=image.dtype)
         bucket[: image.shape[0], : image.shape[1]] = image
         self._cache = self._encode_jit(
