@@ -59,7 +59,19 @@ def make_prompt_sharded_engine(model, mesh, axis: str = "model",
         out_specs=P(),
         check_rep=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    rep = jax.sharding.NamedSharding(mesh, P())
+
+    def call(*args):
+        # Explicitly replicate inputs onto the mesh: upstream per-image
+        # programs (the AOT-exported encode, utils/aot_cache.py) produce
+        # arrays COMMITTED to a single device, which a multi-device jit
+        # rejects as "incompatible devices" instead of auto-replicating.
+        # device_put is a no-op for already-replicated leaves.
+        args = jax.tree.map(lambda x: jax.device_put(x, rep), args)
+        return jitted(*args)
+
+    return call
 
 
 def install_prompt_sharding(model, mesh, axis: str = "model",

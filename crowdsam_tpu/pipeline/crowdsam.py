@@ -321,7 +321,14 @@ class CrowdSAM:
             # One-round-trip host fetch (see engine.pack_host_blob).
             return pack_host_blob(r, SURVIVOR_BLOB_KEYS)
 
-        self._survivor_gathered = jax.jit(gathered)
+        # AOT export cache: one survivor program per bucket size at ~20-25 s
+        # trace+lower each — the other big cold-start cost next to the
+        # engine (utils/aot_cache.py).
+        from crowdsam_tpu.utils.aot_cache import aot_jit
+
+        self._survivor_gathered = aot_jit(
+            gathered, "survivor_gathered",
+            static_key=repr((self.engine_cfg, self.output_rles)))
         # Device-side row gather for the packed-bitmap overflow fallback.
         # np.asarray(sp["packed"]) would ship the WHOLE slab (16 MB at
         # bucket 128, 42 MB at 320) over the ~60 MB/s tunnel whenever even

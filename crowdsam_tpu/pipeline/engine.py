@@ -593,7 +593,21 @@ def make_eps_engine(prompt_encoder, mask_decoder, cfg: EngineConfig,
         pack_host_blob(out, ENGINE_BLOB_KEYS)
         return out
 
-    jitted = jax.jit(engine)
+    if shard_axis is not None:
+        # Sharded variant runs under shard_map (parallel/prompt_shard.py);
+        # exporting a per-shard program would bake in the mesh — keep the
+        # plain jit there.
+        jitted = jax.jit(engine)
+    else:
+        # Disk-backed AOT export cache: the engine is the single biggest
+        # trace+lower cost in the pipeline (~1-2 min cold); warm processes
+        # deserialize the exported module instead (utils/aot_cache.py).
+        from crowdsam_tpu.utils.aot_cache import aot_jit
+
+        jitted = aot_jit(
+            engine, "eps_engine",
+            static_key=repr((prompt_encoder, mask_decoder, cfg,
+                             spec_with_masks, spec_allow_kernel)))
     jitted.raw_fn = engine  # un-jitted core for vmap/sharded batching
     return jitted
 

@@ -62,8 +62,18 @@ class SamPredictor:
         self.low_res = sam_model.img_size // 4
         self.dino_grid = sam_model.img_size // 14
         self.dino_input = self.dino_grid * 14
-        self._encode_jit = jax.jit(self._encode_impl)
-        self._fg_map_jit = jax.jit(self._fg_map_impl)
+        # Disk-backed AOT export cache (utils/aot_cache.py): warm processes
+        # skip the ~20-40 s trace+lower of these per-image programs.  The
+        # flax module reprs capture every closure hyperparameter (variant,
+        # dtype, window layout) the input avals don't.
+        from crowdsam_tpu.utils.aot_cache import aot_jit
+
+        self._encode_jit = aot_jit(
+            self._encode_impl, "encode",
+            static_key=repr((sam_model, dino_model, rect_encode)))
+        self._fg_map_jit = aot_jit(
+            self._fg_map_impl, "fg_map",
+            static_key=repr((sam_model.mask_decoder, self.low_res)))
         self._decode_jit = jax.jit(
             self._decode_impl, static_argnames=("multimask_output", "with_pad")
         )

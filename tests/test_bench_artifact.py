@@ -35,6 +35,9 @@ class _FakeModel:
     def prewarm_survivors(self):
         pass
 
+    def prewarm_pipeline(self, img):
+        self.prewarm_survivors()
+
     def crop_image(self, img, box):
         pass
 
