@@ -124,9 +124,9 @@ class AotProgram:
         self.loaded_from_disk = 0  # introspection / tests
 
     # -- signature / keying -------------------------------------------------
-    def _digest(self, args) -> str | None:
+    def _digest(self, args, kwargs) -> str | None:
         try:
-            leaves, treedef = jax.tree_util.tree_flatten(args)
+            leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
             sig = ";".join(_leaf_sig(x) for x in leaves)
         except TypeError:
             return None  # non-array leaf: plain jit, no cache
@@ -141,7 +141,7 @@ class AotProgram:
         return cache_dir() / f"{self._name}-{digest}.jaxexp"
 
     # -- build / load -------------------------------------------------------
-    def _load_or_export(self, digest: str, args):
+    def _load_or_export(self, digest: str, args, kwargs):
         from jax import export as jax_export
 
         path = self._path(digest)
@@ -168,7 +168,7 @@ class AotProgram:
                     for c in ("tpu_custom_call", "Sharding",
                               "mosaic_gpu_v2")
                 ],
-            )(*args)
+            )(*args, **kwargs)
             blob = exported.serialize()
             tmp = path.with_suffix(f".tmp{os.getpid()}")
             tmp.write_bytes(blob)
@@ -181,14 +181,14 @@ class AotProgram:
             return self._jit
 
     # -- call ---------------------------------------------------------------
-    def __call__(self, *args):
+    def __call__(self, *args, **kwargs):
         if not aot_enabled():
-            self._fallback_sigs.add(self._loose_sig(args))
-            return self._jit(*args)
-        digest = self._digest(args)
+            self._fallback_sigs.add(self._loose_sig((args, kwargs)))
+            return self._jit(*args, **kwargs)
+        digest = self._digest(args, kwargs)
         if digest is None:
-            self._fallback_sigs.add(self._loose_sig(args))
-            return self._jit(*args)
+            self._fallback_sigs.add(self._loose_sig((args, kwargs)))
+            return self._jit(*args, **kwargs)
         call = self._calls.get(digest)
         if call is None:
             with self._lock:
@@ -196,13 +196,13 @@ class AotProgram:
             with sig_lock:  # per-signature: parallel prewarm stays parallel
                 call = self._calls.get(digest)
                 if call is None:
-                    call = self._load_or_export(digest, args)
+                    call = self._load_or_export(digest, args, kwargs)
                     self._calls[digest] = call
-        return call(*args)
+        return call(*args, **kwargs)
 
     @staticmethod
-    def _loose_sig(args) -> str:
-        leaves, treedef = jax.tree_util.tree_flatten(args)
+    def _loose_sig(tree) -> str:
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
         parts = []
         for x in leaves:
             try:

@@ -146,3 +146,32 @@ def test_pipeline_programs_roundtrip_through_cache(isolated_cache, rng):
     if len(d1["boxes"]):
         np.testing.assert_allclose(d1["boxes"], d2["boxes"])
         np.testing.assert_allclose(d1["scores"], d2["scores"])
+
+
+def test_kwargs_calling_convention(isolated_cache):
+    """jax.jit accepts keyword args; the drop-in wrapper must too (the
+    fused-decode parity test calls the engine program with **kwargs —
+    regression: r4 AotProgram only took positional args)."""
+
+    def fn(x, y, scale):
+        return x * scale + y
+
+    x = jnp.arange(8.0)
+    y = jnp.ones((8,))
+    s = jnp.asarray(2.0)
+
+    prog = aot_jit(fn, "t_kwargs", static_key="k")
+    want = jax.jit(fn)(x, y, scale=s)
+    np.testing.assert_array_equal(
+        np.asarray(prog(x, y, scale=s)), np.asarray(want)
+    )
+    # mixed/all-kwargs call styles are distinct signatures but same math
+    np.testing.assert_array_equal(
+        np.asarray(prog(x=x, y=y, scale=s)), np.asarray(want)
+    )
+    # a fresh instance must serve the kwargs signature from disk
+    prog2 = aot_jit(fn, "t_kwargs", static_key="k")
+    np.testing.assert_array_equal(
+        np.asarray(prog2(x, y, scale=s)), np.asarray(want)
+    )
+    assert prog2.loaded_from_disk == 1
