@@ -53,6 +53,16 @@ from crowdsam_tpu.pipeline.engine import fetch_host_blob, pack_host_blob
 
 ALL_PARTS = frozenset({"coords", "upfilter", "padcrop", "occupy", "cleanup"})
 
+# Candidate cleanup REPLACEMENTS (not reference semantics — measured by the
+# probe as possible new engine defaults if PARITY #1's trained bound fails):
+#   "cleanup512"      — low-res cleanup at 512^2 instead of 256^2
+#   "cleanup_fullarea"— region topology at 256^2, but each region's area
+#                       measured on the full-res binarization under the
+#                       region's nearest-upsampled footprint (the survivor
+#                       pass already materializes the full-res mask, so an
+#                       engine port costs a segment-sum, not a new CC).
+CANDIDATE_PARTS = frozenset({"cleanup512", "cleanup_fullarea"})
+
 _BLOB_KEYS = ("iou", "cat", "stab", "boxes", "keep", "hot", "occ")
 
 
@@ -94,6 +104,33 @@ def _np_remove_small_regions(mask: np.ndarray, area_thresh: float, mode: str):
     labels, n = ndimage.label(working, structure=eight)
     sizes = ndimage.sum_labels(
         np.ones_like(labels), labels, np.arange(1, n + 1))
+    small = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
+    if not small:
+        return mask, False
+    fill = [0] + small
+    if not correct_holes:
+        fill = [i for i in range(n + 1) if i not in fill]
+        if not fill:
+            fill = [int(np.argmax(sizes)) + 1]
+    return np.isin(labels, fill), True
+
+
+def _np_remove_small_regions_fullarea(mask, full_binm, area_thresh, mode, f):
+    """remove_small_regions with low-res region TOPOLOGY but each region's
+    size measured on the full-res binarization under the region's
+    nearest-upsampled footprint (the "cleanup_fullarea" candidate)."""
+    from scipy import ndimage
+
+    eight = np.ones((3, 3), dtype=bool)
+    correct_holes = mode == "holes"
+    working = np.logical_xor(correct_holes, mask)
+    labels, n = ndimage.label(working, structure=eight)
+    if n == 0:
+        return mask, False
+    labels_up = np.repeat(np.repeat(labels, f, axis=0), f, axis=1)
+    src = np.logical_xor(correct_holes, full_binm)
+    sizes = ndimage.sum_labels(
+        src.astype(np.float64), labels_up, np.arange(1, n + 1))
     small = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
     if not small:
         return mask, False
@@ -148,7 +185,8 @@ class DeviationProbe:
 
     # ------------------------------------------------------------- programs
     def _get_step(self, parts: frozenset, in_h: int, in_w: int):
-        key = (tuple(sorted(parts - {"coords", "cleanup"})), in_h, in_w)
+        key = (tuple(sorted(parts & {"upfilter", "padcrop", "occupy"})),
+               in_h, in_w)
         if key in self._steps:
             return self._steps[key]
         model = self.model
@@ -230,17 +268,16 @@ class DeviationProbe:
         self._steps[key] = fn
         return fn
 
-    def _get_finals(self, in_h: int, in_w: int):
-        """Bucketed survivor-stage programs for one input shape:
-        corr_box(logits, removed, filled) -> (boxes, nonempty) with the
-        engine's low-res-correction semantics, and up_pack(logits) ->
-        bit-packed image-resolution binarization (exact-cleanup input)."""
-        key = (in_h, in_w)
+    def _get_corr_box(self, in_h: int, in_w: int, q: int):
+        """corr_box(logits, removed, filled) -> (boxes, nonempty): the
+        engine's survivor semantics — full-res binarization with the
+        resolution-q cleanup corrections applied by nearest upsample."""
+        key = ("corr", in_h, in_w, q)
         if key in self._finals:
             return self._finals[key]
         cfg = self.model.engine_cfg
-        R, S, B = cfg.low_res, cfg.img_size, self.SLAB
-        f = S // R
+        S, B = cfg.img_size, self.SLAB
+        f = S // q
         thr = cfg.mask_threshold
 
         def _kron(b):
@@ -256,15 +293,51 @@ class DeviationProbe:
             return (batched_mask_to_box(full).astype(jnp.float32),
                     full.any((1, 2)))
 
+        fn = jax.jit(corr_box)
+        self._finals[key] = fn
+        return fn
+
+    def _get_up_pack(self, in_h: int, in_w: int, q: int):
+        """up_pack(logits) -> bit-packed resolution-q binarization; the
+        image-frame crop applies only at full resolution (q == img_size),
+        matching the padded-frame semantics of the low-res cleanup."""
+        key = ("up", in_h, in_w, q)
+        if key in self._finals:
+            return self._finals[key]
+        cfg = self.model.engine_cfg
+        S, B = cfg.img_size, self.SLAB
+        thr = cfg.mask_threshold
+        crop = q == S
+
         def up_pack(logits):
             up = jax.image.resize(
-                logits.astype(jnp.float32), (B, S, S), "linear",
+                logits.astype(jnp.float32), (B, q, q), "linear",
                 antialias=False) > thr
-            return _pack_bits(up[:, :in_h, :in_w])
+            return _pack_bits(up[:, :in_h, :in_w] if crop else up)
 
-        fns = (jax.jit(corr_box), jax.jit(up_pack))
-        self._finals[key] = fns
-        return fns
+        fn = jax.jit(up_pack)
+        self._finals[key] = fn
+        return fn
+
+    def _get_up_pack_uncropped(self, q: int):
+        """Padded-frame (uncropped) resolution-q binarization — the
+        full-res area source for the "cleanup_fullarea" candidate."""
+        key = ("upu", q)
+        if key in self._finals:
+            return self._finals[key]
+        cfg = self.model.engine_cfg
+        B = self.SLAB
+        thr = cfg.mask_threshold
+
+        def up_pack(logits):
+            up = jax.image.resize(
+                logits.astype(jnp.float32), (B, q, q), "linear",
+                antialias=False) > thr
+            return _pack_bits(up)
+
+        fn = jax.jit(up_pack)
+        self._finals[key] = fn
+        return fn
 
     # ------------------------------------------------------------ main loop
     def generate(self, image: np.ndarray, sub_key,
@@ -275,7 +348,10 @@ class DeviationProbe:
         Returns dict(boxes [original frame xyxy], scores, categories,
         stability, num_consumed, n_prenms)."""
         parts = frozenset(parts)
-        assert parts <= ALL_PARTS, parts - ALL_PARTS
+        assert parts <= ALL_PARTS | CANDIDATE_PARTS, \
+            parts - (ALL_PARTS | CANDIDATE_PARTS)
+        assert len(parts & ({"cleanup"} | CANDIDATE_PARTS)) <= 1, \
+            "cleanup modes are mutually exclusive"
         model = self.model
         cfg = model.engine_cfg
         assert model.crop_n_layers == 0 and not cfg.fuse_simmap, \
@@ -378,7 +454,8 @@ class DeviationProbe:
             count += bs
             consumed += bs
 
-        empty = dict(num_consumed=consumed, n_prenms=0,
+        empty = dict(num_consumed=consumed, n_prenms=0, n_changed=0,
+                     n_dropped_renms=0,
                      boxes=np.zeros((0, 4)), scores=np.zeros(0),
                      categories=np.zeros(0, np.int64), stability=np.zeros(0))
         if not dets["iou"]:
@@ -420,28 +497,52 @@ class DeviationProbe:
             got = np.asarray(jnp.take(m_handles[bi], rows_d, axis=0))
             for (ri, out_i), g in zip(pairs, got):
                 logits[out_i] = g
-        corr_box, up_pack = self._get_finals(in_h, in_w)
         logits_dev = jnp.asarray(logits)
 
         upf = "upfilter" in parts
         box_img = box if upf else box * np.float32(S / R)
 
-        # Small-region postprocess (model.py:394-443).
+        # Small-region postprocess (model.py:394-443) at resolution q:
+        # S for the exact reference semantics, 512 for the "cleanup512"
+        # candidate, low_res otherwise ("cleanup_fullarea" keeps low_res
+        # topology but measures region areas on the full-res mask).
         exact_cleanup = "cleanup" in parts
+        fullarea = "cleanup_fullarea" in parts
+        q = S if exact_cleanup else (512 if "cleanup512" in parts else R)
+
+        def _binm_at_q():
+            if q == R:
+                return logits[:n] > cfg.mask_threshold
+            packed = np.asarray(
+                self._get_up_pack(in_h, in_w, q)(logits_dev)[:n])
+            return _unpack_bits(packed, in_w if q == S else q)
+
         if cfg.min_mask_region_area > 0:
-            if exact_cleanup:
-                packed = np.asarray(up_pack(logits_dev)[:n])
-                binm = _unpack_bits(packed, in_w)
-                area = cfg.min_mask_region_area
+            binm = _binm_at_q()
+            area = cfg.min_mask_region_area * (q / S) ** 2
+            if fullarea:
+                full_binm = _unpack_bits(np.asarray(
+                    self._get_up_pack_uncropped(S)(logits_dev)[:n]), S)
+                f = S // R
+
+                def _clean(m, i):
+                    m1, c1 = _np_remove_small_regions_fullarea(
+                        m, full_binm[i], cfg.min_mask_region_area,
+                        "holes", f)
+                    m2, c2 = _np_remove_small_regions_fullarea(
+                        m1, full_binm[i], cfg.min_mask_region_area,
+                        "islands", f)
+                    return m2, c1 or c2
             else:
-                binm = logits[:n] > cfg.mask_threshold
-                area = cfg.min_mask_region_area * (R / S) ** 2
+                def _clean(m, i):
+                    m1, c1 = _np_remove_small_regions(m, area, "holes")
+                    m2, c2 = _np_remove_small_regions(m1, area, "islands")
+                    return m2, c1 or c2
             cleaned, changed = [], []
-            for m in binm:
-                m1, c1 = _np_remove_small_regions(m, area, "holes")
-                m2, c2 = _np_remove_small_regions(m1, area, "islands")
+            for i, m in enumerate(binm):
+                m2, c = _clean(m, i)
                 cleaned.append(m2)
-                changed.append(c1 or c2)
+                changed.append(c)
             cleaned = np.stack(cleaned)
             changed = np.asarray(changed)
             new_boxes = _np_mask_to_box(cleaned)
@@ -449,14 +550,17 @@ class DeviationProbe:
             keep2 = _np_nms(new_boxes, (~changed).astype(np.float32), thresh2)
             sel2 = np.nonzero(keep2)[0]
         else:
-            binm = (logits[:n] > cfg.mask_threshold) if not exact_cleanup \
-                else _unpack_bits(np.asarray(up_pack(logits_dev)[:n]), in_w)
+            binm = _binm_at_q()
             cleaned = binm
             changed = np.zeros(n, dtype=bool)
             new_boxes = np.zeros((n, 4), np.float32)
             sel2 = np.arange(n)
+        n_changed = int(changed.sum())
+        n_dropped_renms = n - len(sel2)
         if len(sel2) == 0:
             empty["n_prenms"] = n_prenms
+            empty["n_changed"] = n_changed
+            empty["n_dropped_renms"] = n_dropped_renms
             return empty
 
         # Final boxes.
@@ -474,19 +578,20 @@ class DeviationProbe:
                 boxes_final = np.where(nonempty[:, None], mb, box_img)
         else:
             # Engine semantics: full-res boxes from the corrected upsampled
-            # mask (the survivor pass), low-res-scaled fallback when empty.
-            binm0 = logits[:n] > cfg.mask_threshold
-            removed = np.zeros((self.SLAB, R, R), bool)
-            filled = np.zeros((self.SLAB, R, R), bool)
+            # mask (the survivor pass), resolution-q-scaled fallback when
+            # empty.
+            binm0 = binm
+            removed = np.zeros((self.SLAB, q, q), bool)
+            filled = np.zeros((self.SLAB, q, q), bool)
             removed[:n] = binm0 & ~np.where(
                 changed[:, None, None], cleaned, binm0)
             filled[:n] = ~binm0 & np.where(
                 changed[:, None, None], cleaned, binm0)
-            fr, nonempty = corr_box(
+            fr, nonempty = self._get_corr_box(in_h, in_w, q)(
                 logits_dev, jnp.asarray(removed), jnp.asarray(filled))
             fr, nonempty = np.asarray(fr)[:n], np.asarray(nonempty)[:n]
             chg_boxes = np.where(changed[:, None],
-                                 new_boxes * np.float32(S / R), box_img)
+                                 new_boxes * np.float32(S / q), box_img)
             boxes_final = np.where(nonempty[:, None], fr, chg_boxes)
 
         iou, cat, stab = (a[sel2] for a in (iou, cat, stab))
@@ -494,6 +599,8 @@ class DeviationProbe:
         return dict(
             num_consumed=consumed,
             n_prenms=n_prenms,
+            n_changed=n_changed,
+            n_dropped_renms=n_dropped_renms,
             boxes=boxes_final.astype(np.float64) / downscale,
             scores=iou,  # fuse_simmap=False path (model.py:273-289)
             categories=cat,

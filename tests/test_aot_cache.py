@@ -175,3 +175,39 @@ def test_kwargs_calling_convention(isolated_cache):
         np.asarray(prog2(x, y, scale=s)), np.asarray(want)
     )
     assert prog2.loaded_from_disk == 1
+
+
+def test_compute_digest_scope(tmp_path, monkeypatch):
+    """The artifact key digests ONLY compute-path sources (models/ops/
+    pipeline + aot_cache itself): editing a tool/eval/visualize module
+    must leave every exported artifact valid, editing an op must
+    invalidate (VERDICT r4 #6)."""
+    import pathlib
+
+    root = pathlib.Path(aot_cache.__file__).resolve().parents[1]
+    files = aot_cache.compute_source_files(root)
+    rels = {str(p.relative_to(root)) for p in files}
+    # Host-only modules stay out of the key ...
+    for excluded in ("utils/visualize.py", "utils/bench_fixture.py",
+                     "utils/deviation_probe.py", "evallib/crowdhuman.py",
+                     "train/trainer.py"):
+        assert excluded not in rels, excluded
+    # ... every compute module is in it.
+    for included in ("pipeline/engine.py", "models/mask_decoder.py",
+                     "ops/survivor_kernel.py", "utils/aot_cache.py"):
+        assert included in rels, included
+
+    # Digest function: sensitive to included content, stable otherwise.
+    fake = tmp_path / "pkg"
+    for rel in ("models/a.py", "ops/b.py", "pipeline/c.py",
+                "utils/aot_cache.py", "utils/visualize.py", "tools_x.py"):
+        p = fake / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(f"# {rel}\n")
+    d0 = aot_cache._tree_digest(fake, aot_cache.compute_source_files(fake))
+    (fake / "utils/visualize.py").write_text("# edited\n")
+    d1 = aot_cache._tree_digest(fake, aot_cache.compute_source_files(fake))
+    assert d0 == d1, "non-compute edit changed the digest"
+    (fake / "ops/b.py").write_text("# edited\n")
+    d2 = aot_cache._tree_digest(fake, aot_cache.compute_source_files(fake))
+    assert d2 != d0, "compute edit did not change the digest"

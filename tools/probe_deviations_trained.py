@@ -90,6 +90,9 @@ VARIANTS = {
     "exact_occupy": frozenset({"occupy"}),       # PARITY #6
     "exact_padcrop": frozenset({"padcrop"}),     # PARITY #7
     "exact_coords": frozenset({"coords"}),
+    # Candidate cheaper cleanup fixes, scored against exact_cleanup:
+    "cand_cleanup512": frozenset({"cleanup512"}),
+    "cand_fullarea": frozenset({"cleanup_fullarea"}),
     "exact_all": None,  # ALL_PARTS, filled below
 }
 
@@ -146,29 +149,47 @@ def main():
     print(f"# engine: {counts['engine']}", file=sys.stderr)
 
     probe = DeviationProbe(model)
-    consumed = {}
+    consumed, diag = {}, {}
     for name, parts in VARIANTS.items():
         t0 = time.time()
         consumed[name] = []
+        diag[name] = {"n_changed": [], "n_dropped_renms": []}
         for t, (img, _) in enumerate(scenes):
             d = probe.generate(img, subs[t], parts=parts)
             dt[name] += _to_coco_dt(t, d["boxes"], d["scores"])
             counts.setdefault(name, []).append(len(d["boxes"]))
             consumed[name].append(int(d["num_consumed"]))
-        print(f"# {name}: n={counts[name]} consumed={consumed[name]} "
+            diag[name]["n_changed"].append(int(d["n_changed"]))
+            diag[name]["n_dropped_renms"].append(int(d["n_dropped_renms"]))
+        print(f"# {name}: n={counts[name]} changed={diag[name]['n_changed']} "
+              f"renms_drop={diag[name]['n_dropped_renms']} "
               f"({time.time() - t0:.0f}s)", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as tmpdir:
         report = {}
+        # Self-AP ceiling: identical detection sets do NOT score 1.0 under
+        # greedy score-descending Caltech matching (a high-scoring overlap
+        # can claim another's GT) — every bound below reads against this.
+        report["ceiling_parity_vs_self"] = _cross_ap(
+            tmpdir, "self", images_meta, dt["parity"], dt["parity"])
         # Noise floor: production engine vs probe parity mode.
         report["floor_engine_vs_parity"] = _cross_ap(
             tmpdir, "floor", images_meta, dt["engine"], dt["parity"])
         # Attribution: parity vs each single exact part.
         for name in VARIANTS:
-            if name in ("parity", "exact_all"):
+            if name in ("parity", "exact_all") or name.startswith("cand_"):
                 continue
             report[f"parity_vs_{name}"] = _cross_ap(
                 tmpdir, name, images_meta, dt["parity"], dt[name])
+        # Candidate cleanup fixes: scored against the EXACT semantics (how
+        # much of the gap each closes) and against parity (how much each
+        # moves from the shipping behaviour).
+        for name in VARIANTS:
+            if not name.startswith("cand_"):
+                continue
+            report[f"exact_cleanup_vs_{name}"] = _cross_ap(
+                tmpdir, f"x{name}", images_meta, dt["exact_cleanup"],
+                dt[name])
         # Joint bound: engine (and parity) vs full reference semantics.
         report["parity_vs_exact_all"] = _cross_ap(
             tmpdir, "pex", images_meta, dt["parity"], dt["exact_all"])
@@ -180,6 +201,7 @@ def main():
         "fixture": meta,
         "detections": counts,
         "consumed": consumed,
+        "diag": diag,
         "cross_ap": report,
     }, indent=1))
 
