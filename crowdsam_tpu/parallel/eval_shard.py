@@ -33,14 +33,25 @@ class ShardedPipeline:
     """
 
     def __init__(self, model, mesh=None, batch: int = 4,
-                 spatial_axis: Optional[str] = None):
+                 spatial_axis: Optional[str] = None,
+                 prompt_axis: Optional[str] = None):
         """`spatial_axis`: optional second mesh axis name (e.g. 'model') to
         shard the encode's image-height dimension over — the model axis's
         inference role.  Within one data-parallel group the dual-backbone
         ViT encode partitions spatially (XLA inserts halo exchanges /
         collectives over ICI for the conv patch embed, windowed attention,
         and resizes), cutting single-image encode latency; the decode
-        engine stays per-image.  None keeps pure data parallelism."""
+        engine stays per-image.  None keeps pure data parallelism.
+
+        `prompt_axis`: optional mesh axis name (e.g. 'model') to ALSO
+        shard each image's 32-prompt EPS decode iterations over — the
+        COMPOSED BASELINE.json configs[4] layout: images data-parallel
+        over 'data' AND each image's prompt batches model-parallel over
+        this axis, all in the same mesh program.  The engine's prompt-
+        sharding collectives (psum-OR occupancy, all-gather detections,
+        masked-psum mask slabs; parallel/prompt_shard.py) run inside the
+        data-axis shard_map via named-axis collectives.  Requires a mesh
+        and points_per_batch divisible by the axis size."""
         assert model.crop_n_layers == 0, "batched path requires crop_n_layers=0"
         assert not model.train_free, "batched path requires the trained arch"
         self.model = model
@@ -116,9 +127,17 @@ class ShardedPipeline:
         # fine — they carry no SMEM scalars).
         from crowdsam_tpu.pipeline.engine import make_eps_engine
 
+        shard_num = (int(mesh.shape[prompt_axis])
+                     if mesh is not None and prompt_axis else 1)
+        if shard_num > 1:
+            assert cfg.points_per_batch % shard_num == 0, (
+                f"points_per_batch {cfg.points_per_batch} must divide over "
+                f"'{prompt_axis}' ({shard_num} shards)")
         raw_engine = make_eps_engine(
             self.sam.prompt_encoder, self.sam.mask_decoder, cfg,
             spec_with_masks=model.output_rles, spec_allow_kernel=False,
+            shard_axis=prompt_axis if shard_num > 1 else None,
+            shard_num=shard_num,
         ).raw_fn
 
         def engine_b(params, feats, dense_pe, proj_r, sim, feat_hw, in_hw,

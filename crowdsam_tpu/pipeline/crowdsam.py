@@ -557,6 +557,15 @@ class CrowdSAM:
         device compute.  Falls back to sequential `generate` for multi-crop
         configs.  Results match `generate` item by item (same RNG stream).
 
+        The host tail runs on ONE worker thread (VERDICT r4 #3): the fetch
+        wait + survivor gather + RLE string building (~30-40 ms/img) come
+        off the dispatch thread's critical path, and the engine blob's
+        device->host copy is staged at dispatch time so the worker's fetch
+        is a local read, not a fresh tunnel round trip.  A single worker
+        keeps finalizes (and tail_stats) in submission order; the only
+        pipeline state it touches is the per-image (res, meta) pair — the
+        dispatch thread's predictor cache mutations are invisible to it.
+
         `times_out`: optional list; wall-clock seconds between successive
         result completions are appended (bench diagnostics — the deltas
         sum to the loop total, so per-image variance is visible)."""
@@ -571,15 +580,15 @@ class CrowdSAM:
 
         import time
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         lookahead = 2  # images in flight: hides upload + host-tail latency
         results = []
         pending = deque()
         t_last = time.time()
 
-        def finalize_one():
-            nonlocal t_last
-            data = self._finalize_crop(*pending.popleft())
+        def assemble(res, meta):
+            data = self._finalize_crop(res, meta)
             out = MaskData()
             if data is not None:
                 out.cat(data)
@@ -590,22 +599,34 @@ class CrowdSAM:
             if "rles" not in out:
                 out["rles"] = []
             out.to_numpy()
-            results.append(out)
+            return out
+
+        def harvest_one():
+            nonlocal t_last
+            results.append(pending.popleft().result())
             if times_out is not None:
                 now = time.time()
                 times_out.append(now - t_last)
                 t_last = now
 
-        for image in images:
-            img = np.array(image, dtype=np.uint8) if not isinstance(
-                image, np.ndarray
-            ) else image
-            crop_box = [0, 0, img.shape[1], img.shape[0]]
-            pending.append(self._dispatch_crop(img, crop_box))
-            if len(pending) > lookahead:
-                finalize_one()
-        while pending:
-            finalize_one()
+        with ThreadPoolExecutor(1) as ex:
+            for image in images:
+                img = np.array(image, dtype=np.uint8) if not isinstance(
+                    image, np.ndarray
+                ) else image
+                crop_box = [0, 0, img.shape[1], img.shape[0]]
+                res, meta = self._dispatch_crop(img, crop_box)
+                blob = res.get("host_blob")
+                if blob is not None:
+                    try:
+                        blob.copy_to_host_async()
+                    except Exception:  # backend without async D2H staging
+                        pass
+                pending.append(ex.submit(assemble, res, meta))
+                if len(pending) > lookahead:
+                    harvest_one()
+            while pending:
+                harvest_one()
         return results
 
     def _process_crop(self, image, crop_box) -> Optional[MaskData]:

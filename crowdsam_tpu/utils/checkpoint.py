@@ -324,9 +324,15 @@ def _strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarra
 
 def overlay(base: Dict[str, Any], update: Dict[str, Any]) -> Dict[str, Any]:
     """Non-strict overlay of a (partial) converted tree onto a full param
-    tree, shape-checked (mirrors torch load_state_dict(strict=False))."""
+    tree, shape-checked (mirrors torch load_state_dict(strict=False)).
+
+    Update keys absent from the base tree are skipped — but loudly: a
+    mis-rooted tree (e.g. an adapter msgpack with an extra top-level
+    nesting) would otherwise load as a complete silent no-op (ADVICE r4).
+    Mirrors torch load_state_dict(strict=False) reporting unexpected_keys."""
     flat_base = traverse_util.flatten_dict(base)
     flat_upd = traverse_util.flatten_dict(update)
+    skipped = []
     for k, v in flat_upd.items():
         if k in flat_base:
             assert tuple(flat_base[k].shape) == tuple(np.shape(v)), (
@@ -334,6 +340,16 @@ def overlay(base: Dict[str, Any], update: Dict[str, Any]) -> Dict[str, Any]:
                 f"{flat_base[k].shape} vs {np.shape(v)}"
             )
             flat_base[k] = np.asarray(v)
+        else:
+            skipped.append("/".join(map(str, k)))
+    if skipped:
+        import logging
+
+        logging.getLogger("crowdsam").warning(
+            "overlay: %d/%d update keys absent from the base tree and "
+            "skipped (mis-rooted checkpoint?): %s%s",
+            len(skipped), len(flat_upd), ", ".join(skipped[:5]),
+            ", ..." if len(skipped) > 5 else "")
     return traverse_util.unflatten_dict(flat_base)
 
 

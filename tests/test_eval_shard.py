@@ -77,3 +77,30 @@ def test_batched_matches_single_path(tiny_model, rng):
             np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-2)
             np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
             assert a["rles"] == b["rles"]
+
+
+def test_composed_data_x_prompt_sharding(tiny_model, rng):
+    """COMPOSED BASELINE.json configs[4] layout (VERDICT r4 #8): images
+    data-parallel over 'data' AND each image's prompt batches sharded over
+    'model' in the SAME mesh program — output must equal the single-device
+    batched path on the same key stream."""
+    images = [
+        rng.integers(0, 255, (160, 256, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    key0 = tiny_model._key
+    sp1 = ShardedPipeline(tiny_model, mesh=None, batch=4)
+    r1 = sp1.generate_batch(images)
+    tiny_model._key = key0
+    mesh = create_mesh((4, 2))
+    sp2 = ShardedPipeline(tiny_model, mesh=mesh, batch=4,
+                          prompt_axis="model")
+    r2 = sp2.generate_batch(images)
+    total = 0
+    for a, b in zip(r1, r2):
+        assert len(a["boxes"]) == len(b["boxes"])
+        total += len(a["boxes"])
+        if len(a["boxes"]):
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-3)
+            np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+            assert a["rles"] == b["rles"]
+    assert total >= 1, "no detections — equivalence vacuous"

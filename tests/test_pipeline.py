@@ -416,13 +416,16 @@ def test_bench_timed_regime_lead_exclusion(tiny_model, rng):
     import bench
 
     image = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
-    result, stats, diag = bench._timed_regime(tiny_model, image, iters=3,
-                                              lead=2)
+    results, stats, diag = bench._timed_regime(tiny_model, image, iters=3,
+                                               lead=2)
     assert len(stats["iters_ms"]) == 3
     assert len(stats["lead_ms"]) == 2
     assert stats["median_ms"] == float(np.median(stats["iters_ms"]))
     assert len(diag["keep_counts"]) == 5 and len(diag["tail_paths"]) == 5
-    assert isinstance(result, dict) or hasattr(result, "keys")
+    # every timed iteration's result comes back (the quality gate scores
+    # all of them, VERDICT r4 #2)
+    assert len(results) == 5
+    assert all(isinstance(r, dict) or hasattr(r, "keys") for r in results)
 
 
 def test_resize_matrix_linear_matches_jax_and_truncates_exactly():
