@@ -153,7 +153,9 @@ def _timed_regime(model, image, iters, lead=2):
     wall = (time.time() - t0) / (iters + lead)
     stats = _stats(times[lead:])
     stats["lead_ms"] = [round(t * 1000, 1) for t in times[:lead]]
-    stats["wall_ms_per_img"] = round(wall * 1000, 1)
+    # Floor at 1 us so the headline 1000/wall division is always defined
+    # (sub-ms walls only occur with stubbed models in the harness tests).
+    stats["wall_ms_per_img"] = max(round(wall * 1000, 1), 1e-3)
     diag = {
         "keep_counts": [t["n"] for t in model.tail_stats],
         "tail_paths": [t["path"] for t in model.tail_stats],

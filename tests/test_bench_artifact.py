@@ -21,7 +21,8 @@ import bench
 class _FakeModel:
     def __init__(self):
         self.tail_stats = None
-        self.sam = type("S", (), {"params": {}})()
+        # run_measurement snapshots the pre-fixture decoder for canary reuse.
+        self.sam = type("S", (), {"params": {"mask_decoder": {}}})()
 
     def generate(self, img):
         return {"boxes": [[0, 0, 1, 1]]}
@@ -66,9 +67,11 @@ def _patch_happy_path(monkeypatch):
 
     monkeypatch.setattr(bench, "_wait_backend", lambda: 0.0)
     monkeypatch.setattr(bench, "_build_model", lambda rect: fake)
-    monkeypatch.setattr(bench, "_canary", lambda iters=5: {
-        "dispatch_median_ms": 1.0, "dispatch_iters_ms": [1.0],
-        "spec": "stub"})
+    monkeypatch.setattr(
+        bench, "_canary",
+        lambda iters=5, model=None, pristine_decoder=None: {
+            "dispatch_median_ms": 1.0, "dispatch_iters_ms": [1.0],
+            "spec": "stub"})
     monkeypatch.setattr(
         bench, "stage_probe",
         lambda model, image: {"encode_ms": 1, "dispatch_ms": 1,
@@ -81,6 +84,7 @@ def _patch_happy_path(monkeypatch):
 
     fixture_mod = types.ModuleType("crowdsam_tpu.utils.bench_fixture")
     fixture_mod.crowd_scene = lambda seed, **kw: (img, [(0, 0, 1, 1)])
+    fixture_mod.mid_scene = lambda seed, **kw: (img, [(0, 0, 1, 1)])
     fixture_mod.sparse_scene = lambda seed, **kw: img
     fixture_mod.train_or_load_decoder = (
         lambda model, steps, lr, recipe="": {"trained_steps": steps,
