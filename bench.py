@@ -130,6 +130,124 @@ def _score_entry(results, gt_boxes, hw) -> dict:
         return {"error": repr(e)[:200]}
 
 
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "adapter_weights", "bench_golden_detections.json")
+_GOLDEN_KEY_SEED = 20260820  # pinned PRNG for the golden generate
+
+
+def _cross_ap_sets(hw, det_a, det_b) -> float:
+    """Symmetric cross-AP of two detection sets on one image (min of both
+    directions), via the first-party evaluator — same scoring as the
+    deviation probes (tools/probe_deviations_trained.py)."""
+    import json as _json
+    import tempfile
+
+    from crowdsam_tpu.evallib.crowdhuman import (
+        evaluate_predictions_on_crowdhuman)
+
+    h, w = hw
+    images = [{"id": 0, "file_name": "i0.jpg", "height": h, "width": w}]
+
+    def annots(det, with_scores):
+        out = []
+        for i, (b, s) in enumerate(zip(det["boxes"], det["scores"])):
+            a = {"id": i + 1, "image_id": 0,
+                 "bbox": [float(b[0]), float(b[1]),
+                          max(float(b[2] - b[0]), 1.0),
+                          max(float(b[3] - b[1]), 1.0)],
+                 "category_id": 1}
+            if with_scores:
+                a["score"] = float(s)
+            out.append(a)
+        return out
+
+    aps = []
+    with tempfile.TemporaryDirectory() as td:
+        for gt, dt in ((det_a, det_b), (det_b, det_a)):
+            gt_path = os.path.join(td, "g.json")
+            dt_path = os.path.join(td, "d.json")
+            _json.dump({"images": images, "annotations": annots(gt, False),
+                        "categories": [{"id": 1, "name": "person"}]},
+                       open(gt_path, "w"))
+            _json.dump({"images": images, "annotations": annots(dt, True),
+                        "categories": [{"id": 1, "name": "person"}]},
+                       open(dt_path, "w"))
+            ap, _, _, _, _ = evaluate_predictions_on_crowdhuman(
+                gt_path, dt_path)
+            aps.append(ap)
+    return min(aps)
+
+
+def _golden_gate(model, scenes, fixture_meta, rect) -> dict:
+    """Golden-detections regression gate: a dedicated generate per regime
+    under a PINNED PRNG key is scored (symmetric cross-AP) against the
+    committed snapshot in adapter_weights/bench_golden_detections.json.
+    The scene-GT ap/recall in `quality` is a weak signal (random-weight
+    fixture detections barely align with synthetic GT persons); cross-AP
+    against the blessed snapshot collapses on any filter/geometry
+    regression while tolerating boundary-pixel numerics drift.  When the
+    snapshot is missing or keyed to a different fixture, the candidate is
+    written alongside for blessing (commit it to enable the gate).
+    BENCH_GOLDEN=0 to skip.  Never fatal."""
+    if os.environ.get("BENCH_GOLDEN", "1") == "0":
+        return {"skipped": "BENCH_GOLDEN=0"}
+    try:
+        import jax
+
+        identity = {"fixture": {k: v for k, v in sorted(fixture_meta.items())
+                                if k.startswith("trained_")
+                                and k != "trained_cache"},
+                    "rect": bool(rect),
+                    "golden_seed": _GOLDEN_KEY_SEED}
+        current = {"identity": identity, "regimes": {}}
+        for name, img in scenes.items():
+            saved = model._key
+            try:
+                model._key = jax.random.PRNGKey(_GOLDEN_KEY_SEED)
+                d = model.generate(img)
+            finally:
+                model._key = saved
+            current["regimes"][name] = {
+                "hw": [int(img.shape[0]), int(img.shape[1])],
+                "boxes": np.asarray(d["boxes"], np.float64).round(2).tolist(),
+                "scores": np.asarray(
+                    d["scores"], np.float64).round(4).tolist(),
+            }
+        if not os.path.exists(GOLDEN_PATH):
+            cand = GOLDEN_PATH + ".candidate"
+            json.dump(current, open(cand, "w"))
+            return {"skipped": f"no golden snapshot; candidate at {cand}"}
+        golden = json.load(open(GOLDEN_PATH))
+        if golden.get("identity") != identity:
+            cand = GOLDEN_PATH + ".candidate"
+            json.dump(current, open(cand, "w"))
+            return {"skipped": "golden identity mismatch",
+                    "golden_identity": golden.get("identity"),
+                    "run_identity": identity}
+        out = {}
+        for name, det in current["regimes"].items():
+            ref = golden["regimes"].get(name)
+            if ref is None:
+                out[name] = {"skipped": "regime not in golden"}
+                continue
+            xap = _cross_ap_sets(det["hw"], ref, det)
+            # Identical sets do NOT score AP 1.0: trapezoid PR integration
+            # gives (n-1)/n for n perfect matches (the deviation probe's
+            # 0.9846 "ceiling" is exactly 64/65).  Normalize by the golden
+            # set's own self-AP ceiling before judging.
+            ceiling = _cross_ap_sets(det["hw"], ref, ref)
+            entry = {"cross_ap": round(xap, 4), "ceiling": round(ceiling, 4),
+                     "n": len(det["boxes"]), "n_golden": len(ref["boxes"])}
+            if ceiling < 0.5:  # < ~2 golden boxes: no usable AP signal
+                entry["skipped"] = "golden set too small for an AP gate"
+            else:
+                entry["ok"] = bool(xap >= 0.90 * ceiling)
+            out[name] = entry
+        return out
+    except Exception as e:  # diagnosable, never fatal
+        return {"error": repr(e)[:200]}
+
+
 def _stats(times_s):
     ms = [t * 1000 for t in times_s]
     return {
@@ -425,6 +543,9 @@ def run_measurement(rect: bool, progress: dict) -> dict:
             "crowded": _score_entry(cresults, gt_boxes, crowd_img.shape[:2]),
             "sparse": _score_entry(sresults, sparse_gt, sparse_img.shape[:2]),
         }
+        quality["golden"] = _golden_gate(
+            model, {"crowded": crowd_img, "sparse": sparse_img},
+            fixture_meta, rect)
         progress["quality"] = quality
 
         # Uncalibrated heavy-tail stress point, reported alongside.

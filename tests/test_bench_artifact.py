@@ -21,17 +21,21 @@ import bench
 class _FakeModel:
     def __init__(self):
         self.tail_stats = None
+        self._key = None  # swapped by the golden gate's pinned-PRNG pass
         # run_measurement snapshots the pre-fixture decoder for canary reuse.
         self.sam = type("S", (), {"params": {"mask_decoder": {}}})()
 
     def generate(self, img):
-        return {"boxes": [[0, 0, 1, 1]]}
+        # 3 boxes: the golden gate's self-AP ceiling is (n-1)/n = 2/3,
+        # above its 0.5 low-signal cutoff.
+        return {"boxes": [[0, 0, 4, 4], [10, 10, 14, 14], [20, 0, 24, 4]],
+                "scores": [0.9, 0.8, 0.7]}
 
     def generate_many(self, imgs, times_out=None):
         if times_out is not None:
             times_out.extend([0.1] * len(imgs))
         self.tail_stats = [{"n": 1, "path": "spec"} for _ in imgs]
-        return [{"boxes": [[0, 0, 1, 1]]} for _ in imgs]
+        return [{"boxes": [[0, 0, 4, 4]], "scores": [0.9]} for _ in imgs]
 
     def prewarm_survivors(self):
         pass
@@ -91,6 +95,12 @@ def _patch_happy_path(monkeypatch):
                                              "trained_cache": "stub"})
     monkeypatch.setitem(sys.modules, "crowdsam_tpu.utils.bench_fixture",
                         fixture_mod)
+    # Keep the golden gate's candidate writes out of the repo tree.
+    import tempfile
+    golden_dir = tempfile.mkdtemp(prefix="bench_golden_test_")
+    monkeypatch.setattr(
+        bench, "GOLDEN_PATH",
+        __import__("os").path.join(golden_dir, "golden.json"))
     # main() does `import jax` + jax.config updates: real jax on CPU is fine.
     return fake
 
@@ -100,6 +110,53 @@ def _run_main(capsys):
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected exactly one JSON line, got {lines}"
     return json.loads(lines[0])
+
+
+def test_golden_gate_no_snapshot_writes_candidate(monkeypatch, capsys):
+    """First run with no committed golden: the gate is skipped and the
+    candidate snapshot lands next to GOLDEN_PATH for blessing."""
+    import os
+
+    _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    out = _run_main(capsys)
+    g = out["quality"]["golden"]
+    assert "no golden snapshot" in g["skipped"]
+    cand = json.load(open(bench.GOLDEN_PATH + ".candidate"))
+    assert set(cand["regimes"]) == {"crowded", "sparse"}
+    assert cand["regimes"]["crowded"]["boxes"][0] == [0.0, 0.0, 4.0, 4.0]
+    assert os.path.exists(bench.GOLDEN_PATH) is False
+
+
+def test_golden_gate_scores_against_snapshot(monkeypatch, capsys):
+    """With a blessed snapshot matching the fixture identity, the gate
+    emits per-regime cross-AP; identical sets pass, disjoint sets fail."""
+    _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    _run_main(capsys)  # writes the candidate
+    cand = json.load(open(bench.GOLDEN_PATH + ".candidate"))
+    # Regression in one regime: golden sparse boxes nowhere near current.
+    cand["regimes"]["sparse"]["boxes"] = [
+        [100.0, 100.0, 120.0, 120.0], [130.0, 100.0, 150.0, 120.0],
+        [160.0, 100.0, 180.0, 120.0]]
+    json.dump(cand, open(bench.GOLDEN_PATH, "w"))
+    out = _run_main(capsys)
+    g = out["quality"]["golden"]
+    assert g["crowded"]["ok"] is True
+    assert g["crowded"]["cross_ap"] >= 0.99 * g["crowded"]["ceiling"]
+    assert g["sparse"]["ok"] is False
+    assert g["sparse"]["cross_ap"] <= 0.1
+
+
+def test_golden_gate_identity_mismatch_skips(monkeypatch, capsys):
+    _patch_happy_path(monkeypatch)
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    _run_main(capsys)
+    cand = json.load(open(bench.GOLDEN_PATH + ".candidate"))
+    cand["identity"]["fixture"]["trained_steps"] = 999
+    json.dump(cand, open(bench.GOLDEN_PATH, "w"))
+    out = _run_main(capsys)
+    assert out["quality"]["golden"]["skipped"] == "golden identity mismatch"
 
 
 def test_happy_path_emits_json(monkeypatch, capsys):
