@@ -203,6 +203,10 @@ def main():
         "consumed": consumed,
         "diag": diag,
         "cross_ap": report,
+        # Full per-variant detection dumps (COCO dt records) so matched-pair
+        # analyses (e.g. box-IoU of parity-vs-exact matches) can run offline
+        # from the artifact without re-running the probe.
+        "dt": dt,
     }, indent=1))
 
 
