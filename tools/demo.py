@@ -70,6 +70,10 @@ def main():
         image_files = glob.glob(os.path.expanduser(args.input))
 
     output_content = []
+    if not image_files:
+        logger.warning(
+            f"input {args.input!r} matched no files (not a directory, "
+            "existing file, or glob with matches)")
     logger.info(f"total images to process {len(image_files)}")
     for image_file in tqdm(image_files):
         image = Image.open(image_file)
