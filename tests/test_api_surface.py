@@ -115,3 +115,19 @@ def test_crowdhuman2coco_cli(tmp_path, rng):
     assert coco["images"][0]["height"] == 100
     assert len(coco["annotations"]) == 1  # only the 'person' tag
     assert coco["annotations"][0]["bbox"] == [6, 6, 38, 58]  # visible box
+
+
+def test_compat_namespace_matches_reference_exports():
+    """The reference's public import surface (segment_anything_cs/__init__.py:7-15)
+    is reproduced name-for-name by the compat shim, so migrating users can
+    keep their imports."""
+    import crowdsam_tpu.segment_anything_cs as compat
+
+    ref_exports = [
+        "build_sam", "build_sam_vit_h", "build_sam_vit_l", "build_sam_vit_b",
+        "sam_model_registry", "SamPredictor", "SamAutomaticMaskGenerator",
+    ]
+    for name in ref_exports:
+        assert hasattr(compat, name), f"compat shim missing {name}"
+    assert callable(compat.build_sam)
+    assert set(compat.sam_model_registry) >= {"default", "vit_h", "vit_l", "vit_b"}
