@@ -36,7 +36,14 @@ class Sam:
     image_encoder: ImageEncoderViT
     prompt_encoder: PromptEncoder
     mask_decoder: MaskDecoder
-    params: Dict[str, Any]
+    # repr=False: `repr(sam)` is used as an AOT-export static key
+    # (pipeline/predictor.py) and must capture only closure hyperparameters.
+    # Including the param tree would fetch EVERY tensor device->host just to
+    # print it (~1.2 GB for ViT-L over the axon tunnel — tens of seconds of
+    # hidden startup cost, and a hang when the tunnel readback path is down);
+    # param values are traced ARGUMENTS of the exported programs, so their
+    # avals are already part of the cache digest.
+    params: Dict[str, Any] = dataclasses.field(repr=False)
 
     mask_threshold: float = MASK_THRESHOLD
     image_format: str = IMAGE_FORMAT

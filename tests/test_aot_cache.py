@@ -211,3 +211,18 @@ def test_compute_digest_scope(tmp_path, monkeypatch):
     (fake / "ops/b.py").write_text("# edited\n")
     d2 = aot_cache._tree_digest(fake, aot_cache.compute_source_files(fake))
     assert d2 != d0, "compute edit did not change the digest"
+
+
+def test_model_static_keys_materialize_no_param_values():
+    """`repr(model)` feeds the AOT static key (pipeline/predictor.py:71-76);
+    it must exclude the parameter tree.  Including it fetches every tensor
+    device->host just to stringify (~1.2 GB for ViT-L over the tunnel) and
+    wedges model construction whenever the readback path degrades (observed
+    r5: CrowdSAM.__init__ hung >20 min inside dataclass __repr__)."""
+    from crowdsam_tpu.models.build import sam_model_registry
+
+    sam = sam_model_registry["vit_tiny"](n_class=1, dtype=jnp.float32)
+    for obj in (sam, sam.mask_decoder, sam.prompt_encoder, sam.image_encoder):
+        r = repr(obj)
+        assert "params=" not in r
+        assert len(r) < 20_000, (type(obj).__name__, len(r))
