@@ -553,6 +553,12 @@ def run_measurement(rect: bool, progress: dict) -> dict:
         quality = {
             "crowded": _score_entry(cresults, gt_boxes, crowd_img.shape[:2]),
             "sparse": _score_entry(sresults, sparse_gt, sparse_img.shape[:2]),
+            # The per-regime AP/recall above score random-backbone detections
+            # against synthetic scene GT — a workload sanity check, NOT a
+            # regression signal (absolute values are meaningless without
+            # pretrained weights).  `golden` is the regression gate.
+            "note": "per-regime ap/recall = weak workload sanity signal; "
+                    "golden = the regression gate",
         }
         quality["golden"] = _golden_gate(
             model, {"crowded": crowd_img, "sparse": sparse_img},
