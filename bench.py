@@ -640,6 +640,42 @@ def _error_artifact(progress: dict, exc: BaseException) -> dict:
     }
 
 
+def _start_watchdog(progress: dict):
+    """Stall watchdog (daemon thread): the axon tunnel can degrade so that
+    device->host readbacks hang FOREVER while uploads/dispatch still work
+    (observed r5 — a 64-byte fetch wedged >20 min).  Python can't interrupt
+    a thread stuck inside a blocking XLA readback, so on stall we emit the
+    partial artifact the driver expects on stdout and hard-exit: a
+    diagnosable artifact beats a hung driver.  The threshold must exceed
+    every legitimately silent stage (fixture train on total cache miss
+    ~600 s, concurrent precompile ~190-300 s); BENCH_WATCHDOG_S=0
+    disables."""
+    import threading
+
+    stall_s = float(os.environ.get("BENCH_WATCHDOG_S", "1200"))
+    if stall_s <= 0:
+        return
+
+    interval = max(1.0, min(30.0, stall_s / 4))
+
+    def run():
+        last, t_last = None, time.time()
+        while True:
+            time.sleep(interval)
+            snap = json.dumps(progress, default=str, sort_keys=True)
+            if snap != last:
+                last, t_last = snap, time.time()
+            elif time.time() - t_last > stall_s:
+                art = _error_artifact(progress, TimeoutError(
+                    f"watchdog: no progress for {stall_s:.0f}s at stage "
+                    f"{progress.get('stage', 'unknown')!r} — likely a hung "
+                    "device->host readback (axon tunnel degradation)"))
+                print(json.dumps(art), flush=True)
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
+
+
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
     waited_s = _wait_backend()
@@ -677,6 +713,7 @@ def main():
     # dispatch crashed the driver bench with no artifact).
     rect = os.environ.get("BENCH_RECT", "0") != "0"
     progress = {}
+    _start_watchdog(progress)
     try:
         out = run_measurement(rect, progress)
     except BaseException as exc:  # noqa: BLE001 — artifact, then maybe retry
@@ -688,7 +725,9 @@ def main():
         if not rect:
             print(json.dumps(failed))
             return
-        progress = {}
+        # clear() not rebind: the watchdog thread holds a reference to this
+        # dict — a fresh object would leave it watching frozen state.
+        progress.clear()
         try:
             out = run_measurement(False, progress)
             out["rect_attempt"] = {"error": failed["error"],

@@ -232,3 +232,52 @@ def test_double_failure_still_emits_artifact(monkeypatch, capsys):
     assert out["value"] == 0.0
     assert "always-crashes" in out["error"]
     assert "always-crashes" in out["rect_attempt"]["error"]
+
+
+def test_watchdog_emits_artifact_and_exits():
+    """A hung device->host readback (r5 tunnel degradation) must yield the
+    one-line partial artifact + exit 3, not a hung driver.  Driven in a
+    subprocess because the watchdog hard-exits via os._exit."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os, time, json\n"
+        "os.environ['BENCH_WATCHDOG_S'] = '2'\n"
+        "import bench\n"
+        "progress = {'stage': 'crowded_timed'}\n"
+        "bench._start_watchdog(progress)\n"
+        "time.sleep(60)\n"  # simulate a wedged readback; watchdog fires first
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                       capture_output=True, text=True, timeout=45)
+    assert r.returncode == 3, (r.returncode, r.stderr[-500:])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] == 0.0
+    assert "watchdog" in out["error"]
+    assert out["stage"] == "crowded_timed"
+
+
+def test_watchdog_does_not_fire_while_progress_moves():
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os, time\n"
+        "os.environ['BENCH_WATCHDOG_S'] = '3'\n"
+        "import bench\n"
+        "progress = {'stage': 'x'}\n"
+        "bench._start_watchdog(progress)\n"
+        "for i in range(8):\n"
+        "    progress['tick'] = i\n"
+        "    time.sleep(1)\n"
+        "print('CLEAN-EXIT')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, (r.returncode, r.stderr[-500:])
+    assert "CLEAN-EXIT" in r.stdout
