@@ -452,7 +452,11 @@ def run_measurement(rect: bool, progress: dict) -> dict:
 
     progress["stage"] = "build_model"
     progress["rect_encode"] = rect
+    t0 = time.time()
     model = _build_model(rect)
+    # Attribution for the r5 static-key fix: build once hauled the whole
+    # param tree device->host through repr() (models/sam.py).
+    progress["build_s"] = round(time.time() - t0, 1)
     # Seed-42 unit random init, captured before the fixture overwrite: the
     # canary reuses this model+decoder instead of a second full build.
     pristine_decoder = model.sam.params["mask_decoder"]
@@ -617,6 +621,7 @@ def run_measurement(rect: bool, progress: dict) -> dict:
         "sparse_diag": sdiag,
         "fixture": progress["fixture"],
         "stages": stages,
+        "build_s": progress.get("build_s"),
         "compile_s": round(compile_s, 1),
         "rect_encode": rect,
         "backend": jax.default_backend(),
