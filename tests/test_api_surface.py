@@ -131,3 +131,26 @@ def test_compat_namespace_matches_reference_exports():
         assert hasattr(compat, name), f"compat shim missing {name}"
     assert callable(compat.build_sam)
     assert set(compat.sam_model_registry) >= {"default", "vit_h", "vit_l", "vit_b"}
+
+
+def test_demo_cli_zero_match_input_warns(tmp_path):
+    """A nonexistent input path falls through to an empty glob (reference
+    demo.py behaviour) — but our CLI logs a warning and still writes a
+    valid empty result.json instead of silently producing nothing."""
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "demo.py"),
+         "-c", os.path.join(REPO, "configs", "crowdhuman.yaml"),
+         "-i", str(tmp_path / "no_such_dir_or_glob"), "-o", str(out),
+         "model.sam_model", "vit_tiny", "model.dino_model", "dinov2_vits14",
+         "model.sam_checkpoint", "", "model.dino_checkpoint", "",
+         "model.sam_adapter_checkpoint", "",
+         "test.max_size", "256", "tpu.compute_dtype", "float32"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads((out / "result.json").read_text()) == []
+    logged = r.stderr + r.stdout + "".join(
+        p.read_text() for p in (out / "log").glob("*") if p.is_file())
+    assert "matched no files" in logged
